@@ -1,0 +1,78 @@
+"""Index construction.
+
+Behavioral spec (src/index.c:57-98): for every reference sequence, hash the
+k-mer window starting at each multiple of `step_size` (while the window fits,
+src/index.c:65), with ambiguous bases hashed as A (src/utils.h:83-99);
+entries are (hash, seqid<<32|position). Entries are stably sorted by hash
+and each hash bucket's positions are sorted ascending (src/index.c:74,93);
+counts prefix-sum into the 4^k+1 CSR lookup table.
+
+This implementation is vectorized numpy instead of a scalar loop + radix
+sort. Because entries are generated in (seqid, position) ascending order, a
+single stable argsort by hash leaves every bucket's locations ascending —
+the same final layout the reference reaches with its two radix sorts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fem_tpu.config import FemArgs  # noqa: F401  (re-export convenience)
+from fem_tpu.index.storage import FemIndex
+from fem_tpu.io.fastx import Reference
+
+_CHUNK = 1 << 24
+
+
+def hash_windows(codes: np.ndarray, kmer_size: int, positions: np.ndarray) -> np.ndarray:
+    """Hash k-mers at `positions` of an encoded sequence.
+
+    hash = sum_j code4[p+j] << 2*(k-1-j) with ambiguous bases (code 4)
+    treated as A=0 — identical to hash_seed_in_sequence (src/utils.h:83-99).
+    Positions must satisfy p + k <= len(codes).
+    """
+    c4 = np.where(codes > 3, 0, codes).astype(np.int32)
+    weights = (1 << (2 * np.arange(kmer_size - 1, -1, -1, dtype=np.int64))).astype(
+        np.int32
+    )
+    out = np.empty(positions.shape[0], dtype=np.uint32)
+    for lo in range(0, positions.shape[0], _CHUNK):
+        p = positions[lo : lo + _CHUNK]
+        # (m, k) gather then dot; values < 4^k <= 2^30 so int32 is exact.
+        win = c4[p[:, None] + np.arange(kmer_size)]
+        out[lo : lo + _CHUNK] = (win @ weights).astype(np.uint32)
+    return out
+
+
+def build_index(reference: Reference, kmer_size: int, step_size: int) -> FemIndex:
+    all_hashes = []
+    all_locations = []
+    for sid in range(reference.num_seqs):
+        length = int(reference.lengths[sid])
+        if length < kmer_size:
+            continue
+        positions = np.arange(0, length - kmer_size + 1, step_size, dtype=np.int64)
+        hashes = hash_windows(reference.codes_of(sid), kmer_size, positions)
+        all_hashes.append(hashes)
+        all_locations.append((np.uint64(sid) << np.uint64(32)) | positions.astype(np.uint64))
+    if all_hashes:
+        hashes = np.concatenate(all_hashes)
+        locations = np.concatenate(all_locations)
+    else:
+        hashes = np.empty(0, dtype=np.uint32)
+        locations = np.empty(0, dtype=np.uint64)
+
+    # Stable sort by hash; original order is (seqid, position) ascending, so
+    # every bucket's locations come out ascending (matches src/index.c:93).
+    order = np.argsort(hashes, kind="stable")
+    occurrences = locations[order]
+
+    num_buckets = 1 << (2 * kmer_size)
+    counts = np.bincount(hashes.astype(np.int64), minlength=num_buckets).astype(
+        np.uint64
+    )
+    lookup = np.zeros(num_buckets + 1, dtype=np.uint64)
+    np.cumsum(counts, out=lookup[1:])
+    if lookup[-1] >= (1 << 32):
+        raise ValueError("occurrence table exceeds uint32 CSR range")
+    return FemIndex(kmer_size, step_size, lookup.astype(np.uint32), occurrences)
