@@ -1,0 +1,106 @@
+"""Benchmark: all-mapping reads/s on one chip.
+
+Config mirrors BASELINE.json config[0] (E. coli-scale genome, 100 bp
+single-end reads, k=12/step=3, group seeding) at the default e=2/a=1
+operating point (src/FEM_map.c:67-72). Synthetic deterministic genome —
+the repo ships no fixtures and the environment has no egress.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` compares against the golden scalar oracle (the reference C
+binary is unbuildable here: its htslib submodule is not vendored), measured
+on a subsample of the same workload on this host.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    genome_mb = float(os.environ.get("FEM_BENCH_GENOME_MB", "4.6"))
+    num_reads = int(os.environ.get("FEM_BENCH_READS", "40000"))
+    batch_size = int(os.environ.get("FEM_BENCH_BATCH", "2048"))
+    e = int(os.environ.get("FEM_BENCH_E", "2"))
+    golden_sample = int(os.environ.get("FEM_BENCH_GOLDEN_SAMPLE", "300"))
+
+    from fem_tpu import sim
+    from fem_tpu.config import FemArgs
+    from fem_tpu.golden.model import GoldenMapper, MappingStats
+    from fem_tpu.index.build import build_index
+    from fem_tpu.io import fastx
+    from fem_tpu.pipeline.engine import EngineConfig, MappingEngine
+    from tests.test_engine import _batch_from_reads  # reuse batch packing
+
+    t0 = time.time()
+    seqs = sim.random_genome(int(genome_mb * 1e6), num_seqs=1, seed=7)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ref.fa")
+        sim.write_fasta(p, seqs)
+        ref = fastx.read_fasta(p)
+    args = FemArgs(error_threshold=e, num_additional_qgrams=1)
+    index = build_index(ref, 12, 3)
+    reads = sim.simulate_reads(seqs, num_reads, read_length=100, max_errors=e, seed=9)
+    print(f"[bench] setup {time.time()-t0:.1f}s "
+          f"(genome {genome_mb}Mb, {num_reads} reads, e={e})", file=sys.stderr)
+
+    engine = MappingEngine(
+        args, ref, index,
+        EngineConfig(batch_size=batch_size, cap_occ=128, cap_cand=128,
+                     verify_per_read=16),
+    )
+
+    batches = [
+        _batch_from_reads(reads[i : i + batch_size])
+        for i in range(0, num_reads, batch_size)
+    ]
+    # Warmup / compile on the first batch.
+    t0 = time.time()
+    recs0, stats0 = engine.map_batch(batches[0])
+    print(f"[bench] compile+first batch {time.time()-t0:.1f}s", file=sys.stderr)
+
+    total = MappingStats()
+    n_records = len(recs0)
+    total += stats0
+    t0 = time.time()
+    for b in batches[1:]:
+        recs, stats = engine.map_batch(b)
+        n_records += len(recs)
+        total += stats
+    elapsed = time.time() - t0
+    mapped_reads = num_reads - batches[0].num_reads
+    reads_per_s = mapped_reads / elapsed
+    print(
+        f"[bench] {mapped_reads} reads in {elapsed:.2f}s -> {reads_per_s:,.0f} reads/s"
+        f" | stats {total.__dict__} | fallbacks {engine.fallback_reads}",
+        file=sys.stderr,
+    )
+
+    # Golden-oracle baseline on a subsample of the same reads.
+    golden = GoldenMapper(args, ref, index)
+    sample = reads[:golden_sample]
+    t0 = time.time()
+    for r in sample:
+        golden.map_read(r.name, r.seq, r.qual)
+    golden_rps = golden_sample / (time.time() - t0)
+    print(f"[bench] golden oracle: {golden_rps:,.0f} reads/s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"all-mapping reads/s/chip (synthetic {genome_mb}Mb genome, "
+                f"100bp SE, k=12 step=3 e={e} a=1)",
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_s / golden_rps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

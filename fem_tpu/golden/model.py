@@ -28,6 +28,23 @@ from fem_tpu.io.sam import FLAG_REVERSE, format_record
 _U32 = 0xFFFFFFFF
 
 
+def read_strands(
+    seq: bytes,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(read_chars, read_codes, neg_chars, neg_codes) for a read.
+
+    Negative-strand chars use the reference's char-space reverse complement
+    (src/sequence_batch.h:90-98): uint8_to_char(3 ^ code), reversed —
+    ambiguous bases become literal 'N' chars on the negative strand.
+    """
+    read_chars = np.frombuffer(seq, dtype=np.uint8)
+    read_codes = CHAR_TO_CODE[read_chars]
+    neg_codes_raw = (3 ^ read_codes[::-1]).astype(np.uint8)
+    neg_chars = np.frombuffer(b"ACGTNNNN", dtype=np.uint8)[np.minimum(neg_codes_raw, 7)]
+    neg_codes = CHAR_TO_CODE[neg_chars]
+    return read_chars, read_codes, neg_chars, neg_codes
+
+
 @dataclasses.dataclass
 class MappingStats:
     """The five self-reported counters (src/utils.h:55-61, printed at
@@ -107,7 +124,14 @@ def select_optimal_prefix_qgrams(
     """
     num_rows = args.num_qgrams + 1
     num_cols = num_seeds_in_group - args.num_qgrams * seed_span + 2
-    assert num_cols >= 2, "degenerate DP (read too short for this group)"
+    if num_cols < 2:
+        # Degenerate group: the reference's DP loops don't run, its
+        # traceback stops immediately at D[r][0]==3 selecting zero seeds,
+        # and M[rows-1][0] == occurrence_table_size feeds the pre-filter
+        # counter — but it then merges *uninitialized* Seed structs (C UB,
+        # src/filter.c:193-208). Defined behavior here: report the counter
+        # the reference reports and contribute no candidates.
+        return occurrence_table_size & _U32, []
     M = np.zeros((num_rows, num_cols), dtype=np.uint32)
     D = np.full((num_rows, num_cols), 3, dtype=np.uint8)
     M[1:, 0] = np.uint32(occurrence_table_size & _U32)
@@ -266,6 +290,8 @@ class GoldenMapper:
                 freqs,
             )
             dp_total += total
+            if len(picked) < args.num_qgrams:
+                continue  # degenerate group (see select_optimal_prefix_qgrams)
             seeds = [
                 _Seed(
                     hash_value=int(group_hashes[p]),
@@ -559,43 +585,25 @@ class GoldenMapper:
             md.append(b"%d" % num_matches)
         return b"".join(md)
 
-    # ------------------------------------------------------------------- map
+    # ------------------------------------------------------------------- emit
 
-    def map_read(
+    def emit_records(
         self,
         name: bytes,
         seq: bytes,
         qual: bytes,
-    ) -> Tuple[List[bytes], MappingStats]:
-        """Map one single-end read on both strands; returns SAM records in
-        emission order plus this read's stats (src/map.c:27-55)."""
-        args = self.args
-        stats = MappingStats(num_reads=1)
-        read_chars = np.frombuffer(seq, dtype=np.uint8)
-        read_codes = CHAR_TO_CODE[read_chars]
-        L = read_codes.shape[0]
-        # Negative-strand chars via the reference's char-space RC
-        # (src/sequence_batch.h:90-98): uint8_to_char(3 ^ code), reversed.
-        neg_codes_raw = (3 ^ read_codes[::-1]).astype(np.uint8)
-        neg_chars = np.frombuffer(b"ACGTNNNN", dtype=np.uint8)[
-            np.minimum(neg_codes_raw, 7)
-        ]
-        neg_codes = CHAR_TO_CODE[neg_chars]
+        read_chars: np.ndarray,
+        read_codes: np.ndarray,
+        neg_chars: np.ndarray,
+        neg_codes: np.ndarray,
+        mappings: List[GoldenMapping],
+    ) -> List[bytes]:
+        """Sort mappings and emit SAM records (process_mappings,
+        src/align.c:56-92). Shared by the golden path and the device
+        engine's host-side emission stage."""
+        from fem_tpu.io.sam import cigar_to_bytes
 
-        mappings: List[GoldenMapping] = []
-        for direction, codes in ((0, read_codes), (1, neg_codes)):
-            candidates, dp_total = self.generate_candidates(codes)
-            stats.num_candidates_without_additional_qgram_filter += dp_total
-            stats.num_candidates += len(candidates)
-            if candidates:
-                stats.num_mappings += self.verify_candidates(
-                    codes, direction, candidates, mappings
-                )
-        if not mappings:
-            return [], stats
-        stats.num_mapped_reads = 1
-
-        mappings.sort(key=GoldenMapping.sort_key)  # stable, src/align.c:57
+        mappings = sorted(mappings, key=GoldenMapping.sort_key)  # stable
         records: List[bytes] = []
         for mi, m in enumerate(mappings):
             sid = m.candidate_position >> 32
@@ -614,8 +622,6 @@ class GoldenMapper:
             )
             pos = rel_start + start
             flag = 0 if m.direction == 0 else FLAG_REVERSE
-            from fem_tpu.io.sam import cigar_to_bytes
-
             records.append(
                 format_record(
                     qname=name,
@@ -630,6 +636,37 @@ class GoldenMapper:
                     secondary=mi > 0,
                 )
             )
+        return records
+
+    # ------------------------------------------------------------------- map
+
+    def map_read(
+        self,
+        name: bytes,
+        seq: bytes,
+        qual: bytes,
+    ) -> Tuple[List[bytes], MappingStats]:
+        """Map one single-end read on both strands; returns SAM records in
+        emission order plus this read's stats (src/map.c:27-55)."""
+        args = self.args
+        stats = MappingStats(num_reads=1)
+        read_chars, read_codes, neg_chars, neg_codes = read_strands(seq)
+
+        mappings: List[GoldenMapping] = []
+        for direction, codes in ((0, read_codes), (1, neg_codes)):
+            candidates, dp_total = self.generate_candidates(codes)
+            stats.num_candidates_without_additional_qgram_filter += dp_total
+            stats.num_candidates += len(candidates)
+            if candidates:
+                stats.num_mappings += self.verify_candidates(
+                    codes, direction, candidates, mappings
+                )
+        if not mappings:
+            return [], stats
+        stats.num_mapped_reads = 1
+        records = self.emit_records(
+            name, seq, qual, read_chars, read_codes, neg_chars, neg_codes, mappings
+        )
         return records, stats
 
     def map_reads(

@@ -1,0 +1,243 @@
+"""Candidate generation: occurrence gather + pigeonhole vote + dedup.
+
+Reference semantics (src/filter.c:80-223) reformulated for the TPU. The
+CPU version is a chain of pointer-chasing k-way merges; here every
+(read, strand, group) lane gathers the occurrence lists of its selected
+seeds into a fixed-capacity slab, sorts them with `lax.sort`, and applies
+the vote and dedup as vector ops. Parity-critical quirks preserved:
+
+  * occurrences whose in-chromosome position precedes the seed's read
+    offset are dropped (src/filter.c:89-90,106);
+  * after the stable sort by frequency (src/filter.c:204), the *last*
+    (most frequent) seed only contributes diagonal positions <= the
+    maximum position contributed by the other seeds (loop bound at
+    src/filter.c:85) — here a masked lexicographic max + compare;
+  * the additional-q-gram vote keeps a position only when more than `a`
+    merged positions fall within [p, p+e] (src/filter.c:118-131) — on the
+    sorted slab this is a single shifted compare;
+  * groups fold left-to-right through the greedy +-e dedup
+    (src/filter.c:45-78,210-212), which can evict earlier winners — an
+    order-dependent fold reproduced exactly by a per-group scan;
+  * finally candidates near chromosome edges are dropped and survivors
+    shift by -e to the band start (src/filter.c:133-144).
+
+64-bit candidate values (seqid<<32|pos) are represented as (sid, pos)
+int32 pairs ordered by two-key lexicographic sorts — identical order, no
+emulated int64 on the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fem_tpu.ops.seed_select import select_qgrams
+from fem_tpu.ops.types import DeviceIndex, FilterParams, SENTINEL_SID
+
+_BIG = jnp.int32(2**30)
+
+
+class CandidateResult(NamedTuple):
+    cand_sid: jnp.ndarray  # (NB, CAP_CAND) int32
+    cand_pos: jnp.ndarray  # (NB, CAP_CAND) int32 band-start positions
+    cand_valid: jnp.ndarray  # (NB, CAP_CAND) bool, ascending positions first
+    num_candidates: jnp.ndarray  # (NB,) int32
+    dp_total: jnp.ndarray  # (NB,) uint32 — pre-filter counter per strand-read
+    needs_fallback: jnp.ndarray  # (NB,) bool — capacity overflow / degenerate
+    mappable: jnp.ndarray  # (NB,) bool — passed length/ambiguity guards
+
+
+def _group_seed_geometry(params: FilterParams):
+    G = params.step_size
+    NG = params.max_group_size
+    p = jnp.arange(NG, dtype=jnp.int32)
+    si = jnp.arange(G, dtype=jnp.int32)
+    # read position of group-coordinate p in group si: si + p*step
+    return si[:, None] + p[None, :] * params.step_size  # (G, NG)
+
+
+def generate_candidates(
+    codes: jnp.ndarray,  # (NB, Lmax) uint8 — reads with strand applied
+    lengths: jnp.ndarray,  # (NB,) int32
+    hashes: jnp.ndarray,  # (NB, NSmax) int32 seed hashes
+    ambiguous: jnp.ndarray,  # (NB,) int32
+    index: DeviceIndex,
+    params: FilterParams,
+) -> CandidateResult:
+    NB = codes.shape[0]
+    G = params.step_size
+    NG = params.max_group_size
+    S = params.num_qgrams
+    e = params.error_threshold
+    a = params.num_additional_qgrams
+    CAP = params.cap_occ
+    CC = params.cap_cand
+
+    num_seeds = lengths - params.kmer_size + 1  # (NB,)
+    min_group = jnp.where(num_seeds > 0, num_seeds // params.step_size, 0)
+    mappable = (
+        (num_seeds > 0)
+        & (S <= min_group)  # src/filter.c:166-172
+        & (ambiguous <= e)  # src/filter.c:180-182
+    )
+
+    # ---- per-(lane, group) seed tables -------------------------------------
+    read_pos = _group_seed_geometry(params)  # (G, NG)
+    seed_idx = jnp.clip(read_pos, 0, hashes.shape[1] - 1)
+    group_hashes = hashes[:, seed_idx]  # (NB, G, NG)
+    group_sizes = jnp.maximum(
+        (num_seeds[:, None] - jnp.arange(G, dtype=jnp.int32)[None, :])
+        // params.step_size,
+        0,
+    )  # (NB, G) — floor counts, reproducing the reference's truncation
+    lo = jnp.take(index.lookup, group_hashes, mode="clip")
+    hi = jnp.take(index.lookup, group_hashes + 1, mode="clip")
+    freqs = (hi - lo).astype(jnp.uint32)
+
+    # ---- DP selection per (lane, group) ------------------------------------
+    NL = NB * G
+    sel = select_qgrams(
+        freqs.reshape(NL, NG),
+        group_sizes.reshape(NL),
+        index.num_occurrences,
+        params,
+    )
+    sel_p = sel.positions.reshape(NB, G, S)  # group coords, traceback order
+    dp_total = jnp.where(
+        mappable[:, None], sel.min_total.reshape(NB, G), jnp.uint32(0)
+    ).sum(axis=1, dtype=jnp.uint32)
+    complete = sel.complete.reshape(NB, G)
+    degenerate = sel.degenerate.reshape(NB, G)
+
+    # ---- selected-seed attributes, stable-sorted by frequency --------------
+    sel_pc = jnp.clip(sel_p, 0, NG - 1)
+    start = jnp.take_along_axis(
+        jnp.broadcast_to(read_pos[None], (NB, G, NG)), sel_pc, axis=2
+    )  # read positions (NB, G, S)
+    sel_hash = jnp.take_along_axis(group_hashes, sel_pc, axis=2)
+    sfreq = (
+        jnp.take(index.lookup, sel_hash + 1, mode="clip")
+        - jnp.take(index.lookup, sel_hash, mode="clip")
+    )  # int32
+    sstart_off = jnp.take(index.lookup, sel_hash, mode="clip")
+    # Stable ascending sort by frequency; ties keep traceback order — this
+    # mirrors glibc qsort's (stable msort) behavior on the 3-way comparator
+    # (src/utils.h:126-136).
+    order = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (NB, G, S))
+    sfreq_s, _, start_s, off_s = jax.lax.sort(
+        (sfreq, order, start, sstart_off), dimension=2, num_keys=2
+    )
+
+    # ---- occurrence gather into CAP slots ----------------------------------
+    fc = jnp.minimum(sfreq_s, CAP + 1)  # clamp for slot math; flags overflow
+    pfx = jnp.cumsum(fc, axis=2) - fc  # exclusive prefix
+    total_c = pfx[..., -1] + fc[..., -1]
+    overflow_occ = total_c > CAP  # (NB, G)
+
+    t = jnp.arange(CAP, dtype=jnp.int32)
+    # seed index owning slot t: number of prefix boundaries <= t.
+    j_of_t = jnp.zeros((NB, G, CAP), jnp.int32)
+    for j in range(1, S):
+        j_of_t = j_of_t + (t[None, None, :] >= pfx[..., j, None]).astype(jnp.int32)
+    within = t[None, None, :] - jnp.take_along_axis(pfx, j_of_t, axis=2)
+    occ_idx = jnp.take_along_axis(off_s, j_of_t, axis=2) + within
+    lane_ok = mappable[:, None] & complete  # (NB, G)
+    slot_valid = (t[None, None, :] < total_c[..., None]) & lane_ok[..., None]
+    occ_idx_c = jnp.clip(occ_idx, 0, index.occ_sid.shape[0] - 1)
+    sid = jnp.take(index.occ_sid, occ_idx_c)
+    pos = jnp.take(index.occ_pos, occ_idx_c)
+    seed_start = jnp.take_along_axis(start_s, j_of_t, axis=2)
+    slot_valid &= pos >= seed_start  # src/filter.c:89-90
+    diag = pos - seed_start
+    is_last = j_of_t == (S - 1)
+
+    # ---- last-seed truncation (src/filter.c:85) ----------------------------
+    others = slot_valid & ~is_last
+    tsid = jnp.max(jnp.where(others, sid, -1), axis=2, keepdims=True)
+    tpos = jnp.max(
+        jnp.where(others & (sid == tsid), diag, -1), axis=2, keepdims=True
+    )
+    keep_last = (sid < tsid) | ((sid == tsid) & (diag <= tpos))
+    slot_valid &= jnp.where(is_last, keep_last, True)
+
+    # ---- sort group slab, vote ---------------------------------------------
+    sid_s = jnp.where(slot_valid, sid, SENTINEL_SID)
+    diag_s = jnp.where(slot_valid, diag, _BIG)
+    sid_s, diag_s, valid_s = jax.lax.sort(
+        (sid_s, diag_s, slot_valid.astype(jnp.int32)), dimension=2, num_keys=2
+    )
+    valid_s = valid_s.astype(bool)
+    if a > 0:
+        pad_sid = jnp.concatenate(
+            [sid_s[..., a:], jnp.full((NB, G, a), SENTINEL_SID, jnp.int32)], axis=2
+        )
+        pad_diag = jnp.concatenate(
+            [diag_s[..., a:], jnp.full((NB, G, a), _BIG, jnp.int32)], axis=2
+        )
+        vote = (pad_sid == sid_s) & (pad_diag <= diag_s + e)
+        valid_s &= vote
+
+    # ---- fold groups through the greedy dedup ------------------------------
+    cand_sid = jnp.full((NB, CC), SENTINEL_SID, jnp.int32)
+    cand_pos = jnp.full((NB, CC), _BIG, jnp.int32)
+    cand_valid = jnp.zeros((NB, CC), bool)
+    overflow_cand = jnp.zeros((NB,), bool)
+
+    for g in range(G):
+        m_sid = jnp.concatenate([cand_sid, sid_s[:, g]], axis=1)
+        m_pos = jnp.concatenate([cand_pos, diag_s[:, g]], axis=1)
+        m_valid = jnp.concatenate([cand_valid, valid_s[:, g]], axis=1)
+        m_sid = jnp.where(m_valid, m_sid, SENTINEL_SID)
+        m_pos = jnp.where(m_valid, m_pos, _BIG)
+        m_sid, m_pos, m_valid = jax.lax.sort(
+            (m_sid, m_pos, m_valid.astype(jnp.int32)), dimension=1, num_keys=2
+        )
+        m_valid = m_valid.astype(bool)
+
+        def dedup_step(carry, x):
+            last_sid, last_pos = carry
+            s_, p_, v_ = x
+            cond = (s_ > last_sid) | ((s_ == last_sid) & (p_ > last_pos + e))
+            keep = v_ & cond
+            last_sid = jnp.where(keep, s_, last_sid)
+            last_pos = jnp.where(keep, p_, last_pos)
+            return (last_sid, last_pos), keep
+
+        M = m_sid.shape[1]
+        xs = (m_sid.T, m_pos.T, m_valid.T)
+        init = (jnp.full((NB,), -1, jnp.int32), jnp.zeros((NB,), jnp.int32))
+        _, keep_T = jax.lax.scan(dedup_step, init, xs)
+        keep = keep_T.T  # (NB, M)
+        n_keep = keep.sum(axis=1)
+        overflow_cand |= n_keep > CC
+        k_sid = jnp.where(keep, m_sid, SENTINEL_SID)
+        k_pos = jnp.where(keep, m_pos, _BIG)
+        k_sid, k_pos, k_keep = jax.lax.sort(
+            (k_sid, k_pos, keep.astype(jnp.int32)), dimension=1, num_keys=2
+        )
+        cand_sid = k_sid[:, :CC]
+        cand_pos = k_pos[:, :CC]
+        cand_valid = k_keep[:, :CC].astype(bool)
+
+    # ---- range filter + band-start shift (src/filter.c:133-144) ------------
+    ref_len = jnp.take(
+        index.ref_lengths, jnp.clip(cand_sid, 0, index.ref_lengths.shape[0] - 1)
+    )
+    in_range = (cand_pos >= e) & (cand_pos + lengths[:, None] + e < ref_len)
+    cand_valid &= in_range
+    cand_pos = jnp.where(cand_valid, cand_pos - e, cand_pos)
+
+    # Degenerate groups (DP < 2 columns) are defined no-ops, not fallbacks
+    # (see fem_tpu/ops/seed_select.py); a non-degenerate incomplete
+    # traceback would be a bug and routes to the host path.
+    needs_fallback = mappable & (
+        jnp.any(overflow_occ, axis=1)
+        | overflow_cand
+        | jnp.any(~complete & ~degenerate, axis=1)
+    )
+    num_candidates = cand_valid.sum(axis=1).astype(jnp.int32)
+    return CandidateResult(
+        cand_sid, cand_pos, cand_valid, num_candidates, dp_total, needs_fallback, mappable
+    )

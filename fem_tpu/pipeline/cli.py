@@ -1,0 +1,180 @@
+"""Command-line interface.
+
+Mirrors the reference binary's surface (src/FEM.c:23-51):
+    fem index <window_size> <step_size> <reference> <output>   (src/FEM_index.c:7-22)
+    fem map -e INT -t INT -a INT -f g --ref R --index I --read1 Q -o OUT
+                                                               (src/FEM_map.c:10-133)
+plus the same exit summary (version/CMD/wall+CPU time) and the five
+MappingStats counters (src/FEM_map.c:214-219).
+
+Behavioral improvement over the reference, preserved intentionally: the
+reference *ignores* the k/step stored in the index header and filters with
+its hardcoded defaults (SURVEY.md §5.6); we take k/step from the index
+file, which is the only correct interpretation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import resource
+import sys
+import time
+
+
+def _cpu_time() -> float:
+    r = resource.getrusage(resource.RUSAGE_SELF)
+    return r.ru_utime + r.ru_stime
+
+
+def index_main(argv: list[str]) -> int:
+    if len(argv) < 4:
+        print(
+            "Usage: fem index <window_size> <step_size> <reference> <output>",
+            file=sys.stderr,
+        )
+        return 1
+    kmer_size, step_size = int(argv[0]), int(argv[1])
+    reference_path, output_path = argv[2], argv[3]
+    print(
+        f"k: {kmer_size}, step size: {step_size}, reference: {reference_path}, "
+        f"output: {output_path}",
+        file=sys.stderr,
+    )
+    from fem_tpu.index.build import build_index
+    from fem_tpu.index.storage import save_index
+    from fem_tpu.io.fastx import read_fasta
+
+    t0 = time.time()
+    reference = read_fasta(reference_path)
+    index = build_index(reference, kmer_size, step_size)
+    print(
+        f"Collected {index.num_occurrences} seeds.\n"
+        f"Lookup table size: {index.lookup.shape[0]}, occurrence table size: "
+        f"{index.num_occurrences}.\nBuilt index in {time.time() - t0:f}s.",
+        file=sys.stderr,
+    )
+    save_index(index, output_path)
+    return 0
+
+
+def map_main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="fem map", add_help=True)
+    p.add_argument("-e", type=int, default=2, help="error threshold")
+    p.add_argument("-t", type=int, default=1, help="number of threads")
+    p.add_argument("-a", type=int, default=1, help="# additional q-grams")
+    p.add_argument("-f", default="g", help='seeding algorithm ("g" group seeding)')
+    p.add_argument("--ref", required=True, help="input reference file")
+    p.add_argument("--index", required=True, help="input index file")
+    p.add_argument("--read1", required=True, help="input read1 file")
+    p.add_argument("-o", dest="output", required=True, help="output SAM file")
+    p.add_argument("--batch-size", type=int, default=10000)
+    p.add_argument(
+        "--engine",
+        choices=["device", "golden"],
+        default="device",
+        help="device = TPU pipeline, golden = scalar oracle",
+    )
+    args = p.parse_args(argv)
+
+    # Constraint surface of check_args (src/FEM_map.c:29-55).
+    if not (0 <= args.e <= 7):
+        print("Wrong error threshold.", file=sys.stderr)
+        return 1
+    if args.t <= 0:
+        print("Wrong number of threads.", file=sys.stderr)
+        return 1
+    if not (0 <= args.a <= 2):
+        print("Wrong number of additional q-grams.", file=sys.stderr)
+        return 1
+    if args.f not in ("g",):
+        print("Wrong name of seeding algorithm!", file=sys.stderr)
+        return 1
+
+    from fem_tpu.config import FemArgs
+    from fem_tpu.golden.model import GoldenMapper, MappingStats
+    from fem_tpu.index.storage import load_index
+    from fem_tpu.io.fastx import read_fasta, stream_fastq_batches
+    from fem_tpu.io.sam import SamWriter
+
+    reference = read_fasta(args.ref)
+    index = load_index(args.index)
+    fem_args = FemArgs(
+        kmer_size=index.kmer_size,
+        step_size=index.step_size,
+        error_threshold=args.e,
+        num_additional_qgrams=args.a,
+        num_threads=args.t,
+    )
+    total = MappingStats()
+    t0 = time.time()
+    writer = SamWriter(args.output, reference.names, reference.lengths.tolist())
+    if args.engine == "golden":
+        mapper = GoldenMapper(fem_args, reference, index)
+        for batch in stream_fastq_batches(args.read1, batch_size=args.batch_size):
+            recs, stats = mapper.map_reads(batch.names, batch.seqs, batch.quals)
+            for r in recs:
+                writer.write_record(r)
+            total += stats
+    else:
+        from fem_tpu.pipeline.engine import EngineConfig, MappingEngine
+
+        engine = MappingEngine(
+            fem_args, reference, index, EngineConfig(batch_size=args.batch_size)
+        )
+        for batch in stream_fastq_batches(args.read1, batch_size=args.batch_size):
+            recs, stats = engine.map_batch(batch)
+            for r in recs:
+                writer.write_record(r)
+            total += stats
+    writer.close()
+
+    # The five oracle counters (src/FEM_map.c:214-219).
+    print(f"The number of read: {total.num_reads}", file=sys.stderr)
+    print(f"The number of mapped read: {total.num_mapped_reads}", file=sys.stderr)
+    print(
+        "The number of candidate before additional q-gram filter: "
+        f"{total.num_candidates_without_additional_qgram_filter}",
+        file=sys.stderr,
+    )
+    print(f"The number of candidate: {total.num_candidates}", file=sys.stderr)
+    print(f"The number of mapping: {total.num_mappings}", file=sys.stderr)
+    print(f"Time: {time.time() - t0:f}s", file=sys.stderr)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(
+            "Program: fem_tpu (TPU-native Fast and Efficient short read Mapper)\n"
+            "Usage:   fem <command> [options]\n\n"
+            "Command: index   build index for reference\n"
+            "         map     map reads",
+            file=sys.stderr,
+        )
+        return 1
+    real0, cpu0 = time.time(), _cpu_time()
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "index":
+        rc = index_main(rest)
+    elif cmd == "map":
+        rc = map_main(rest)
+    else:
+        print(f"[main] unrecognized command '{cmd}'", file=sys.stderr)
+        return 1
+    if rc == 0:
+        from fem_tpu import __version__
+
+        print(f"[main] Version: {__version__}", file=sys.stderr)
+        print(f"[main] CMD: fem {' '.join(argv)}", file=sys.stderr)
+        print(
+            f"[main] Real time: {time.time() - real0:.3f} sec; "
+            f"CPU: {_cpu_time() - cpu0:.3f} sec",
+            file=sys.stderr,
+        )
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

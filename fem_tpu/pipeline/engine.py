@@ -1,0 +1,269 @@
+"""The batched mapping engine: device pipeline + host emission.
+
+Replaces the reference's pthread worker loop (src/map.c:3-71): reads are
+padded into fixed-shape batches, both strands are mapped by one jitted
+device program (hash -> q-gram DP -> candidate filter -> banded Myers),
+and the small accepted-hit set comes back to the host for traceback and
+SAM emission. Reads that exceed a static device capacity (occurrence slab,
+candidate list, or verify slots) fall back to the golden scalar path, so
+the ALL-mappings guarantee survives fixed shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_tpu.config import FemArgs
+from fem_tpu.golden.model import GoldenMapper, GoldenMapping, MappingStats, read_strands
+from fem_tpu.index.storage import FemIndex
+from fem_tpu.io.fastx import ReadBatch, Reference
+from fem_tpu.ops.candidates import generate_candidates
+from fem_tpu.ops.hashing import ambiguous_base_counts, reverse_complement, seed_hashes
+from fem_tpu.ops.types import DeviceIndex, FilterParams, device_index_from_host
+from fem_tpu.ops.verify import verify_candidates_jnp
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    batch_size: int = 10000  # reads per device batch (src/FEM_map.c:151)
+    cap_occ: int = 256
+    cap_cand: int = 256
+    verify_per_read: int = 16  # verify slots per read-strand lane (avg)
+    use_pallas: bool | None = None  # None = auto (TPU only)
+    mesh: object | None = None  # jax.sharding.Mesh for multi-chip data parallelism
+
+
+def map_core(
+    index: DeviceIndex,
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    params: FilterParams,
+    verify_cap: int,
+    use_pallas: bool,
+):
+    """The full per-batch mapping step, both strands, as one traceable
+    function: hash -> DP seed selection -> candidate filter -> verify.
+    Shard-mappable over the batch (read) axis; `verify_cap` is per shard."""
+    e = params.error_threshold
+    B, Lmax = codes.shape
+    neg = reverse_complement(codes, lengths)
+    both = jnp.concatenate([codes, neg], axis=0)  # (2B, Lmax)
+    lens2 = jnp.concatenate([lengths, lengths], axis=0)
+    hashes = seed_hashes(both, params.kmer_size)
+    amb = ambiguous_base_counts(both, lens2, params.kmer_size)
+    cand = generate_candidates(both, lens2, hashes, amb, index, params)
+
+    # Compact valid candidates into the verify slab. Flat order is
+    # (lane-major, ascending position) — candidate order per strand is
+    # preserved, which the mapping sort's stability relies on.
+    NB, CC = cand.cand_valid.shape
+    flat_valid = cand.cand_valid.reshape(-1)
+    order = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+    total = flat_valid.sum().astype(jnp.int32)
+    slot = jnp.where(flat_valid, order, verify_cap)  # OOB scatters drop
+    lane_of = jnp.broadcast_to(
+        jnp.arange(NB, dtype=jnp.int32)[:, None], (NB, CC)
+    ).reshape(-1)
+    v_lane = jnp.zeros((verify_cap,), jnp.int32).at[slot].set(lane_of)
+    v_sid = jnp.zeros((verify_cap,), jnp.int32).at[slot].set(
+        cand.cand_sid.reshape(-1)
+    )
+    v_pos = jnp.zeros((verify_cap,), jnp.int32).at[slot].set(
+        cand.cand_pos.reshape(-1)
+    )
+    v_text = jnp.take(both, v_lane, axis=0)
+    v_len = jnp.take(lens2, v_lane)
+    if use_pallas:
+        from fem_tpu.ops.verify_pallas import verify_candidates_pallas
+
+        vres = verify_candidates_pallas(index, v_sid, v_pos, v_text, v_len, e)
+    else:
+        vres = verify_candidates_jnp(index, v_sid, v_pos, v_text, v_len, e)
+    in_use = jnp.arange(verify_cap, dtype=jnp.int32) < jnp.minimum(total, verify_cap)
+    accepted = vres.accepted & in_use
+    return {
+        "slab_overflow": (total > verify_cap).reshape(1),
+        "v_lane": v_lane,
+        "v_sid": v_sid,
+        "v_pos": v_pos,
+        "v_ed": vres.edit_distance,
+        "v_end": vres.end_offset,
+        "accepted": accepted,
+        "num_candidates": cand.num_candidates,
+        "dp_total": cand.dp_total,
+        "needs_fallback": cand.needs_fallback,
+        "total_candidates": total,
+    }
+
+
+def _make_device_fn(params: FilterParams, verify_cap: int, use_pallas: bool):
+    @jax.jit
+    def run(index: DeviceIndex, codes: jnp.ndarray, lengths: jnp.ndarray):
+        return map_core(index, codes, lengths, params, verify_cap, use_pallas)
+
+    return run
+
+
+class MappingEngine:
+    def __init__(
+        self,
+        args: FemArgs,
+        reference: Reference,
+        index: FemIndex,
+        config: EngineConfig | None = None,
+    ):
+        self.args = args
+        self.reference = reference
+        self.config = config or EngineConfig()
+        self.golden = GoldenMapper(args, reference, index)
+        self.dindex = device_index_from_host(index, reference)
+        if self.config.use_pallas is None:
+            self.config.use_pallas = jax.devices()[0].platform == "tpu"
+        self._fns: Dict[Tuple[int, int], callable] = {}
+        self.fallback_reads = 0
+
+    def _fn_for(self, batch_size: int, max_len: int):
+        key = (batch_size, max_len)
+        if key not in self._fns:
+            params = FilterParams.from_args(
+                self.args,
+                max_len,
+                cap_occ=self.config.cap_occ,
+                cap_cand=self.config.cap_cand,
+            )
+            verify_cap = 2 * batch_size * self.config.verify_per_read
+            if self.config.mesh is not None:
+                from fem_tpu.parallel.mesh import make_sharded_map_fn
+
+                n = self.config.mesh.devices.size
+                if batch_size % n:
+                    raise ValueError(f"batch size {batch_size} not divisible by mesh size {n}")
+                fn = make_sharded_map_fn(
+                    self.config.mesh, params, verify_cap // n, self.config.use_pallas
+                )
+            else:
+                fn = _make_device_fn(params, verify_cap, self.config.use_pallas)
+            self._fns[key] = (fn, verify_cap)
+        return self._fns[key]
+
+    def map_batch(self, batch: ReadBatch) -> Tuple[List[bytes], MappingStats]:
+        """Map one read batch; returns SAM records in read order + stats."""
+        B = self.config.batch_size
+        n = batch.num_reads
+        codes = batch.codes
+        lengths = batch.lengths
+        if n < B:  # pad to the static batch shape; padded lanes are inert
+            codes = np.concatenate(
+                [codes, np.full((B - n, codes.shape[1]), 4, np.uint8)], axis=0
+            )
+            lengths = np.concatenate([lengths, np.zeros(B - n, np.int32)])
+        fn, verify_cap = self._fn_for(B, codes.shape[1])
+        out = fn(self.dindex, jnp.asarray(codes), jnp.asarray(lengths))
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        if out["slab_overflow"].any():
+            if batch.num_reads == 1:
+                # One read exceeding the whole slab: host path handles it.
+                self.fallback_reads += 1
+                recs, stats = self.golden.map_read(
+                    batch.names[0], batch.seqs[0], batch.quals[0]
+                )
+                return recs, stats
+            # Verify slab overflow: split and recurse (exact, just slower).
+            return self._map_batch_split(batch)
+
+        if self.config.mesh is not None:
+            # Sharded outputs concatenate shard-major; per-read arrays are
+            # strand-major *within* each shard — restore global strand-major.
+            nshards = self.config.mesh.devices.size
+            for k in ("num_candidates", "dp_total", "needs_fallback"):
+                out[k] = out[k].reshape(nshards, 2, -1).transpose(1, 0, 2).reshape(-1)
+
+        return self._emit(batch, out)
+
+    def _map_batch_split(self, batch: ReadBatch) -> Tuple[List[bytes], MappingStats]:
+        mid = max(batch.num_reads // 2, 1)
+        recs: List[bytes] = []
+        stats = MappingStats()
+        for lo, hi in ((0, mid), (mid, batch.num_reads)):
+            if lo >= hi:
+                continue
+            sub = ReadBatch(
+                batch.names[lo:hi],
+                batch.seqs[lo:hi],
+                batch.quals[lo:hi],
+                batch.codes[lo:hi],
+                batch.lengths[lo:hi],
+            )
+            r, s = self.map_batch(sub)
+            recs.extend(r)
+            stats += s
+        return recs, stats
+
+    def _emit(self, batch: ReadBatch, out: dict) -> Tuple[List[bytes], MappingStats]:
+        n = batch.num_reads
+        B = self.config.batch_size
+        stats = MappingStats(num_reads=n)
+        acc = out["accepted"]
+        a_lane = out["v_lane"][acc]
+        a_sid = out["v_sid"][acc]
+        a_pos = out["v_pos"][acc]
+        a_ed = out["v_ed"][acc]
+        a_end = out["v_end"][acc]
+        # Stable-sort by lane: single-chip slabs are already lane-major; on
+        # a mesh the shards concatenate shard-major, and stability keeps
+        # each lane's candidates in ascending band-position order.
+        sort = np.argsort(a_lane, kind="stable")
+        a_lane, a_sid, a_pos, a_ed, a_end = (
+            a_lane[sort], a_sid[sort], a_pos[sort], a_ed[sort], a_end[sort]
+        )
+        bounds = np.searchsorted(a_lane, np.arange(2 * B + 1))
+        records: List[bytes] = []
+        fallback = out["needs_fallback"]
+        for r in range(n):
+            if fallback[r] or fallback[r + B]:
+                self.fallback_reads += 1
+                recs, rstats = self.golden.map_read(
+                    batch.names[r], batch.seqs[r], batch.quals[r]
+                )
+                rstats.num_reads = 0  # already counted
+                stats += rstats
+                records.extend(recs)
+                continue
+            stats.num_candidates += int(
+                out["num_candidates"][r] + out["num_candidates"][r + B]
+            )
+            stats.num_candidates_without_additional_qgram_filter += int(
+                out["dp_total"][r]
+            ) + int(out["dp_total"][r + B])
+            mappings: List[GoldenMapping] = []
+            for lane in (r, r + B):  # + strand then - strand (src/map.c:29-49)
+                direction = 0 if lane < B else 1
+                for i in range(bounds[lane], bounds[lane + 1]):
+                    mappings.append(
+                        GoldenMapping(
+                            direction=direction,
+                            edit_distance=int(a_ed[i]),
+                            candidate_position=(int(a_sid[i]) << 32)
+                            | int(a_pos[i]),
+                            end_position_offset=int(a_end[i]),
+                        )
+                    )
+            stats.num_mappings += len(mappings)
+            if not mappings:
+                continue
+            stats.num_mapped_reads += 1
+            rc, rcod, nc, ncod = read_strands(batch.seqs[r])
+            records.extend(
+                self.golden.emit_records(
+                    batch.names[r], batch.seqs[r], batch.quals[r],
+                    rc, rcod, nc, ncod, mappings,
+                )
+            )
+        return records, stats

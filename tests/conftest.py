@@ -8,12 +8,16 @@ to run against real devices instead.
 import os
 
 if not os.environ.get("FEM_TPU_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    # Note: the JAX_PLATFORMS env var is overridden by TPU platform plugins;
+    # the config update below reliably forces the virtual CPU mesh.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
