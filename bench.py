@@ -18,6 +18,15 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: the full mapping program is a large XLA/
+# Mosaic compile (minutes via remote TPU compile); cache it across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/fem_tpu_xla")
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main() -> None:
     genome_mb = float(os.environ.get("FEM_BENCH_GENOME_MB", "4.6"))

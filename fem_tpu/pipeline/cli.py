@@ -22,6 +22,17 @@ import sys
 import time
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache — the jitted mapping program is a
+    multi-minute TPU compile; cache it across invocations."""
+    import jax
+
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/fem_tpu_xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _cpu_time() -> float:
     r = resource.getrusage(resource.RUSAGE_SELF)
     return r.ru_utime + r.ru_stime
@@ -97,6 +108,7 @@ def map_main(argv: list[str]) -> int:
     from fem_tpu.io.fastx import read_fasta, stream_fastq_batches
     from fem_tpu.io.sam import SamWriter
 
+    _enable_compile_cache()
     reference = read_fasta(args.ref)
     index = load_index(args.index)
     fem_args = FemArgs(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, List, Tuple
 
 import jax
@@ -117,6 +118,7 @@ class MappingEngine:
         reference: Reference,
         index: FemIndex,
         config: EngineConfig | None = None,
+        use_native: bool | None = None,
     ):
         self.args = args
         self.reference = reference
@@ -127,6 +129,17 @@ class MappingEngine:
             self.config.use_pallas = jax.devices()[0].platform == "tpu"
         self._fns: Dict[Tuple[int, int], callable] = {}
         self.fallback_reads = 0
+        self._native = None
+        if use_native is None:
+            use_native = os.environ.get("FEM_TPU_NO_NATIVE", "") != "1"
+        if use_native:
+            try:
+                from fem_tpu.native import NativeEmitter, native_available
+
+                if native_available():
+                    self._native = NativeEmitter(reference, args.error_threshold)
+            except Exception:
+                self._native = None
 
     def _fn_for(self, batch_size: int, max_len: int):
         key = (batch_size, max_len)
@@ -207,6 +220,59 @@ class MappingEngine:
         return recs, stats
 
     def _emit(self, batch: ReadBatch, out: dict) -> Tuple[List[bytes], MappingStats]:
+        n = batch.num_reads
+        B = self.config.batch_size
+        fallback = out["needs_fallback"]
+        if self._native is not None and not (
+            fallback[:n].any() or fallback[B : B + n].any()
+        ):
+            return self._emit_native(batch, out)
+        return self._emit_python(batch, out)
+
+    def _emit_native(self, batch: ReadBatch, out: dict) -> Tuple[List[bytes], MappingStats]:
+        """Vectorized stats + one native call for mapping sort, traceback
+        and SAM formatting (no per-read Python)."""
+        n = batch.num_reads
+        B = self.config.batch_size
+        stats = MappingStats(num_reads=n)
+        acc = out["accepted"]
+        a_lane = out["v_lane"][acc]
+        a_sid = out["v_sid"][acc]
+        a_pos = out["v_pos"][acc]
+        a_ed = out["v_ed"][acc]
+        a_end = out["v_end"][acc]
+        sort = np.argsort(a_lane, kind="stable")
+        a_lane, a_sid, a_pos, a_ed, a_end = (
+            a_lane[sort], a_sid[sort], a_pos[sort], a_ed[sort], a_end[sort]
+        )
+        read_id = a_lane % B
+        # Generation order per read: + strand then - strand, each ascending
+        # (src/map.c:29-49); stable sort by read id preserves exactly that.
+        order = np.argsort(read_id, kind="stable")
+        read_id = read_id[order]
+        map_counts = np.bincount(read_id, minlength=B)[:n].astype(np.int32)
+        stats.num_mappings = int(map_counts.sum())
+        stats.num_mapped_reads = int((map_counts > 0).sum())
+        nc = out["num_candidates"]
+        stats.num_candidates = int(nc[:n].sum() + nc[B : B + n].sum())
+        dp = out["dp_total"].astype(np.uint64)
+        stats.num_candidates_without_additional_qgram_filter = int(
+            dp[:n].sum() + dp[B : B + n].sum()
+        )
+        blob = self._native.emit(
+            batch.names,
+            batch.seqs,
+            batch.quals,
+            map_counts,
+            (a_lane[order] >= B).astype(np.uint8),
+            a_ed[order].astype(np.uint8),
+            a_sid[order],
+            a_pos[order].astype(np.int64),
+            a_end[order],
+        )
+        return ([blob] if blob else []), stats
+
+    def _emit_python(self, batch: ReadBatch, out: dict) -> Tuple[List[bytes], MappingStats]:
         n = batch.num_reads
         B = self.config.batch_size
         stats = MappingStats(num_reads=n)

@@ -1,0 +1,51 @@
+"""Native C++ emitter (mapping sort + traceback + SAM) vs golden."""
+
+import numpy as np
+import pytest
+
+from fem_tpu import sim
+from fem_tpu.golden.model import GoldenMapper
+from fem_tpu.pipeline.engine import EngineConfig, MappingEngine
+
+from tests.test_engine import _batch_from_reads
+
+native = pytest.importorskip("fem_tpu.native")
+if not native.native_available():
+    pytest.skip("native library unavailable", allow_module_level=True)
+
+
+def test_native_emitter_matches_golden(small_reference, small_index, default_args):
+    seqs, ref = small_reference
+    golden = GoldenMapper(default_args, ref, small_index)
+    cfg = EngineConfig(batch_size=96, cap_occ=256, cap_cand=128, verify_per_read=32)
+    eng_native = MappingEngine(default_args, ref, small_index, cfg, use_native=True)
+    eng_py = MappingEngine(default_args, ref, small_index, cfg, use_native=False)
+    assert eng_native._native is not None
+    reads = sim.simulate_reads(seqs, 96, read_length=100, max_errors=2, seed=77)
+    batch = _batch_from_reads(reads)
+    rn, sn = eng_native.map_batch(batch)
+    rp, sp = eng_py.map_batch(batch)
+    gr, gs = golden.map_reads(batch.names, batch.seqs, batch.quals)
+    assert b"".join(rn) == b"".join(gr) == b"".join(rp)
+    assert sn.__dict__ == sp.__dict__ == gs.__dict__
+
+
+def test_native_emitter_handles_indels_and_secondary(small_reference, small_index, default_args):
+    seqs, ref = small_reference
+    golden = GoldenMapper(default_args, ref, small_index)
+    eng = MappingEngine(
+        default_args, ref, small_index,
+        EngineConfig(batch_size=8, cap_occ=256, cap_cand=128, verify_per_read=64),
+        use_native=True,
+    )
+    # Indel-heavy reads + a repeat read (secondary records).
+    reads = sim.simulate_reads(
+        seqs, 7, read_length=100, max_errors=2, indel_fraction=1.0, seed=78
+    )
+    rep = seqs[0][1][10_050:10_150]
+    reads.append(sim.SimulatedRead(b"rep", rep, b"I" * 100, 0, 10_050, 0, 0))
+    batch = _batch_from_reads(reads)
+    rn, _ = eng.map_batch(batch)
+    gr, _ = golden.map_reads(batch.names, batch.seqs, batch.quals)
+    assert b"".join(rn) == b"".join(gr)
+    assert b"\t272\t" in b"".join(rn) or b"\t256\t" in b"".join(rn)
