@@ -76,8 +76,7 @@ def main() -> None:
     n_records = len(recs0)
     total += stats0
     t0 = time.time()
-    for b in batches[1:]:
-        recs, stats = engine.map_batch(b)
+    for recs, stats in engine.map_stream(batches[1:]):
         n_records += len(recs)
         total += stats
     elapsed = time.time() - t0
@@ -89,14 +88,43 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Golden-oracle baseline on a subsample of the same reads.
-    golden = GoldenMapper(args, ref, index)
-    sample = reads[:golden_sample]
-    t0 = time.time()
-    for r in sample:
-        golden.map_read(r.name, r.seq, r.qual)
-    golden_rps = golden_sample / (time.time() - t0)
-    print(f"[bench] golden oracle: {golden_rps:,.0f} reads/s", file=sys.stderr)
+    # CPU baseline: the standalone fem_baseline mapper (byte-identical
+    # semantics, single thread — the reference's default t=1 operating
+    # point src/FEM_map.c:71); golden oracle as a last resort.
+    baseline_rps = None
+    try:
+        import subprocess
+        import tempfile
+
+        from fem_tpu.native.build import build_baseline
+
+        bin_ = build_baseline()
+        with tempfile.TemporaryDirectory() as d:
+            fa = os.path.join(d, "ref.fa")
+            fq = os.path.join(d, "reads.fq")
+            ix = os.path.join(d, "ref.index")
+            sam = os.path.join(d, "out.sam")
+            sim.write_fasta(fa, seqs)
+            sim.write_fastq(fq, reads)
+            subprocess.run([bin_, "index", "12", "3", fa, ix], check=True,
+                           capture_output=True)
+            t0 = time.time()
+            subprocess.run(
+                [bin_, "map", "-e", str(e), "-a", "1", "-t", "1", "--ref", fa,
+                 "--index", ix, "--read1", fq, "-o", sam],
+                check=True, capture_output=True)
+            baseline_rps = num_reads / (time.time() - t0)
+        print(f"[bench] fem_baseline (1 CPU thread): {baseline_rps:,.0f} reads/s",
+              file=sys.stderr)
+    except Exception as exc:  # pragma: no cover
+        print(f"[bench] baseline build/run failed ({exc}); using golden oracle",
+              file=sys.stderr)
+        golden = GoldenMapper(args, ref, index)
+        sample = reads[:golden_sample]
+        t0 = time.time()
+        for r in sample:
+            golden.map_read(r.name, r.seq, r.qual)
+        baseline_rps = golden_sample / (time.time() - t0)
 
     print(
         json.dumps(
@@ -105,7 +133,7 @@ def main() -> None:
                 f"100bp SE, k=12 step=3 e={e} a=1)",
                 "value": round(reads_per_s, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(reads_per_s / golden_rps, 2),
+                "vs_baseline": round(reads_per_s / baseline_rps, 2),
             }
         )
     )

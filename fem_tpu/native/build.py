@@ -12,32 +12,52 @@ import threading
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libfemtpu.so")
+_BASELINE_PATH = os.path.join(os.path.dirname(__file__), "fem_baseline")
 _lock = threading.Lock()
+
+_CXXFLAGS = ["-O3", "-march=native", "-std=c++17", "-Wall"]
+
+
+def _stale(target: str, srcs: list[str]) -> bool:
+    if not os.path.exists(target):
+        return True
+    t = os.path.getmtime(target)
+    return any(os.path.getmtime(s) > t for s in srcs)
+
+
+def _sources(exclude_main: bool) -> list[str]:
+    out = []
+    for f in sorted(os.listdir(_SRC_DIR)):
+        if f.endswith(".cpp") and (not exclude_main or f != "baseline.cpp"):
+            out.append(os.path.join(_SRC_DIR, f))
+    return out
 
 
 def build_native(force: bool = False) -> str:
+    """Build the shared library consumed via ctypes."""
     with _lock:
-        srcs = [
+        srcs = _sources(exclude_main=True)
+        hdrs = [
             os.path.join(_SRC_DIR, f)
-            for f in sorted(os.listdir(_SRC_DIR))
-            if f.endswith(".cpp")
+            for f in os.listdir(_SRC_DIR)
+            if f.endswith(".h")
         ]
-        if not force and os.path.exists(_LIB_PATH):
-            lib_mtime = os.path.getmtime(_LIB_PATH)
-            if all(os.path.getmtime(s) <= lib_mtime for s in srcs):
-                return _LIB_PATH
-        cmd = [
-            "g++",
-            "-O3",
-            "-march=native",
-            "-std=c++17",
-            "-shared",
-            "-fPIC",
-            "-Wall",
-            "-o",
-            _LIB_PATH,
-            *srcs,
-            "-lz",
-        ]
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        if force or _stale(_LIB_PATH, srcs + hdrs):
+            cmd = ["g++", *_CXXFLAGS, "-shared", "-fPIC", "-o", _LIB_PATH, *srcs, "-lz"]
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
         return _LIB_PATH
+
+
+def build_baseline(force: bool = False) -> str:
+    """Build the standalone fem_baseline CPU mapper binary."""
+    with _lock:
+        src = os.path.join(_SRC_DIR, "baseline.cpp")
+        hdrs = [
+            os.path.join(_SRC_DIR, f)
+            for f in os.listdir(_SRC_DIR)
+            if f.endswith(".h")
+        ]
+        if force or _stale(_BASELINE_PATH, [src] + hdrs):
+            cmd = ["g++", *_CXXFLAGS, "-pthread", "-o", _BASELINE_PATH, src, "-lz"]
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        return _BASELINE_PATH

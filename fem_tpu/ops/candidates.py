@@ -92,9 +92,9 @@ def generate_candidates(
         // params.step_size,
         0,
     )  # (NB, G) — floor counts, reproducing the reference's truncation
-    lo = jnp.take(index.lookup, group_hashes, mode="clip")
-    hi = jnp.take(index.lookup, group_hashes + 1, mode="clip")
-    freqs = (hi - lo).astype(jnp.uint32)
+    freqs = jnp.take(index.freq_table, group_hashes, mode="clip").astype(
+        jnp.uint32
+    )
 
     # ---- DP selection per (lane, group) ------------------------------------
     NL = NB * G
@@ -117,10 +117,7 @@ def generate_candidates(
         jnp.broadcast_to(read_pos[None], (NB, G, NG)), sel_pc, axis=2
     )  # read positions (NB, G, S)
     sel_hash = jnp.take_along_axis(group_hashes, sel_pc, axis=2)
-    sfreq = (
-        jnp.take(index.lookup, sel_hash + 1, mode="clip")
-        - jnp.take(index.lookup, sel_hash, mode="clip")
-    )  # int32
+    sfreq = jnp.take_along_axis(freqs, sel_pc, axis=2).astype(jnp.int32)
     sstart_off = jnp.take(index.lookup, sel_hash, mode="clip")
     # Stable ascending sort by frequency; ties keep traceback order — this
     # mirrors glibc qsort's (stable msort) behavior on the 3-way comparator
@@ -130,28 +127,59 @@ def generate_candidates(
         (sfreq, order, start, sstart_off), dimension=2, num_keys=2
     )
 
-    # ---- occurrence gather into CAP slots ----------------------------------
+    # ---- occurrence gather into CAP slots (8-slot chunk aligned) -----------
+    # Each selected seed's slot span rounds up to 8 so every 8-slot chunk
+    # maps to one run of consecutive (sid, pos) pairs in the occurrence
+    # table — fetched as 2 aligned 64-byte row gathers + a pair-granular
+    # barrel shift. TPU row gathers are ~10x cheaper than element gathers
+    # (same trick as gather_windows in ops/verify.py).
+    assert CAP % 8 == 0, "cap_occ must be a multiple of 8"
+    NCH = CAP // 8
     fc = jnp.minimum(sfreq_s, CAP + 1)  # clamp for slot math; flags overflow
-    pfx = jnp.cumsum(fc, axis=2) - fc  # exclusive prefix
-    total_c = pfx[..., -1] + fc[..., -1]
-    overflow_occ = total_c > CAP  # (NB, G)
+    fc8 = ((fc + 7) // 8) * 8
+    pfx8 = jnp.cumsum(fc8, axis=2) - fc8  # exclusive, 8-aligned slot space
+    total_c = pfx8[..., -1] + fc8[..., -1]
+    overflow_occ = total_c > CAP  # (NB, G); stricter than the exact total,
+    # which only costs a few extra host fallbacks, never wrong results.
 
-    t = jnp.arange(CAP, dtype=jnp.int32)
-    # seed index owning slot t: number of prefix boundaries <= t.
-    j_of_t = jnp.zeros((NB, G, CAP), jnp.int32)
+    c8 = jnp.arange(NCH, dtype=jnp.int32) * 8
+    j_of_c = jnp.zeros((NB, G, NCH), jnp.int32)
     for j in range(1, S):
-        j_of_t = j_of_t + (t[None, None, :] >= pfx[..., j, None]).astype(jnp.int32)
-    within = t[None, None, :] - jnp.take_along_axis(pfx, j_of_t, axis=2)
-    occ_idx = jnp.take_along_axis(off_s, j_of_t, axis=2) + within
+        j_of_c = j_of_c + (c8[None, None, :] >= pfx8[..., j, None]).astype(jnp.int32)
+    within_c = c8[None, None, :] - jnp.take_along_axis(pfx8, j_of_c, axis=2)
+    pair_idx = jnp.take_along_axis(off_s, j_of_c, axis=2) + within_c
+    row0 = jnp.clip(pair_idx >> 3, 0, index.occ_rows.shape[0] - 2)
+    words = jnp.concatenate(
+        [
+            jnp.take(index.occ_rows, row0, axis=0),
+            jnp.take(index.occ_rows, row0 + 1, axis=0),
+        ],
+        axis=-1,
+    ).astype(jnp.uint32)  # (NB, G, NCH, 32)
+    w = pair_idx & 7  # pair offset in the first row -> word shift 2*w
+    for bit, sh in ((1, 2), (2, 4), (4, 8)):
+        shifted = jnp.concatenate(
+            [words[..., sh:], jnp.zeros(words.shape[:-1] + (sh,), jnp.uint32)],
+            axis=-1,
+        )
+        words = jnp.where((w & bit)[..., None] != 0, shifted, words)
+    sid = words[..., 0:16:2].astype(jnp.int32).reshape(NB, G, CAP)
+    pos = words[..., 1:16:2].astype(jnp.int32).reshape(NB, G, CAP)
+
     lane_ok = mappable[:, None] & complete  # (NB, G)
-    slot_valid = (t[None, None, :] < total_c[..., None]) & lane_ok[..., None]
-    occ_idx_c = jnp.clip(occ_idx, 0, index.occ_sid.shape[0] - 1)
-    sid = jnp.take(index.occ_sid, occ_idx_c)
-    pos = jnp.take(index.occ_pos, occ_idx_c)
-    seed_start = jnp.take_along_axis(start_s, j_of_t, axis=2)
+    fc_j = jnp.take_along_axis(fc, j_of_c, axis=2)
+    slot_in_run = within_c[..., None] + jnp.arange(8, dtype=jnp.int32)
+    slot_valid = (
+        (slot_in_run < fc_j[..., None]) & lane_ok[..., None, None]
+    ).reshape(NB, G, CAP)
+    seed_start = jnp.broadcast_to(
+        jnp.take_along_axis(start_s, j_of_c, axis=2)[..., None], (NB, G, NCH, 8)
+    ).reshape(NB, G, CAP)
     slot_valid &= pos >= seed_start  # src/filter.c:89-90
     diag = pos - seed_start
-    is_last = j_of_t == (S - 1)
+    is_last = jnp.broadcast_to(
+        (j_of_c == (S - 1))[..., None], (NB, G, NCH, 8)
+    ).reshape(NB, G, CAP)
 
     # ---- last-seed truncation (src/filter.c:85) ----------------------------
     others = slot_valid & ~is_last

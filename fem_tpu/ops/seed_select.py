@@ -6,12 +6,13 @@ src/filter.c:3-43): for one seed group, pick e+1+a non-overlapping seeds
 via a (e+a+2) x (Ng - (e+1+a)*span + 2) DP with uint32-wrapping sums and a
 decision-matrix traceback. Ties prefer the horizontal move (skip the seed).
 
-TPU design: one DP *lane* per (read, strand, group); a single `lax.scan`
-sweeps columns for every lane at once, with the tiny row recurrence
-unrolled inside the scan body. Lanes have different true column counts;
-all lanes sweep to the static maximum and each reads its own result column
-(left-to-right recurrences make trailing columns inert). The traceback is
-a second fixed-length scan over the stored decision matrix.
+TPU design: one DP *lane* per (read, strand, group). The frequencies each
+(row, column) cell needs are known statically, so they are pre-gathered
+into the scan inputs as contiguous rows of a transposed (NG, NL) table —
+no strided minor-axis loads inside the loop. The traceback exploits that
+horizontal runs are skippable: a per-row suffix "last non-horizontal
+column" table (running max along columns) turns the walk into exactly
+S = e+1+a steps, each a single row lookup.
 """
 
 from __future__ import annotations
@@ -44,24 +45,25 @@ def select_qgrams(
     NC = params.max_dp_cols
     sentinel = occurrence_table_size.astype(jnp.uint32)
 
-    freqs = freqs.astype(jnp.uint32)
+    # Pre-gather the scan inputs: cell (row, col) reads freqs[col+(row-1)*sl-1].
+    # freqs transposed to (NG, NL) so each needed entry is one contiguous row.
+    freqs_t = freqs.astype(jnp.uint32).T  # (NGmax, NL)
+    pos_of = [
+        [min(max(col + (row - 1) * sl - 1, 0), NGmax - 1) for row in range(1, R)]
+        for col in range(1, NC)
+    ]  # (NC-1, R-1) static
+    xs = freqs_t[jnp.asarray(pos_of, dtype=jnp.int32)]  # (NC-1, R-1, NL)
 
-    def column_step(m_prev, col):
-        # m_prev: (NL, R) = DP column col-1. Row 0 is always 0 for col >= 1.
+    def column_step(m_prev, f_col):
+        # m_prev: (NL, R) = DP column col-1; f_col: (R-1, NL).
         rows = [jnp.zeros((NL,), jnp.uint32)]
-        decisions = [jnp.full((NL,), 3, jnp.uint8)]
+        decisions = [jnp.zeros((NL,), jnp.bool_)]  # row 0: never vertical
         for row in range(1, R):
-            pos = col + (row - 1) * sl - 1
-            f = jax.lax.dynamic_index_in_dim(
-                freqs, jnp.clip(pos, 0, NGmax - 1), axis=1, keepdims=False
-            )
-            with_new = rows[row - 1] + f  # uint32 wrap, as the reference
+            with_new = rows[row - 1] + f_col[row - 1]  # uint32 wrap
             horiz = m_prev[:, row]
             take_vertical = with_new < horiz
             rows.append(jnp.where(take_vertical, with_new, horiz))
-            decisions.append(
-                jnp.where(take_vertical, jnp.uint8(2), jnp.uint8(1))
-            )
+            decisions.append(take_vertical)
         m_new = jnp.stack(rows, axis=1)
         return m_new, (jnp.stack(decisions, axis=1), m_new[:, R - 1])
 
@@ -72,63 +74,46 @@ def select_qgrams(
         ],
         axis=1,
     )
-    cols = jnp.arange(1, NC, dtype=jnp.int32)
-    _, (d_cols, m_last) = jax.lax.scan(column_step, m0, cols)
-    # d_cols: (NC-1, NL, R); m_last: (NC-1, NL)
-
-    # Column 0 decisions are all 3 (src/filter.c:10); assemble (NL, R, NC).
-    D = jnp.concatenate(
-        [
-            jnp.full((NL, R, 1), 3, jnp.uint8),
-            jnp.transpose(d_cols, (1, 2, 0)),
-        ],
-        axis=2,
-    )
+    _, (vert_cols, m_last) = jax.lax.scan(column_step, m0, xs)
+    # vert_cols: (NC-1, NL, R) bool "took vertical"; m_last: (NC-1, NL).
 
     # Per-lane true column count and result column.
     nc_lane = group_sizes - S * sl + 2  # (NL,)
     degenerate = nc_lane < 2
     final_col = jnp.clip(nc_lane - 1, 1, NC - 1)
     min_total = jnp.take_along_axis(
-        jnp.transpose(m_last, (1, 0)), (final_col - 1)[:, None], axis=1
+        m_last.T, (final_col - 1)[:, None], axis=1
     )[:, 0]
     # Degenerate groups (NC < 2): the reference's DP never runs and its
     # result cell M[R-1][0] is the occurrence_table_size sentinel, which it
     # still adds to the pre-filter counter (src/filter.c:9,202).
     min_total = jnp.where(degenerate, sentinel, min_total)
 
-    # Traceback (src/filter.c:29-41): walk D from (R-1, final_col); a
-    # vertical move at row r selects the seed at col + (r-1)*sl - 1 into
-    # output slot R-1-r (selection order is decreasing position).
-    D_flat = D.reshape(NL, R * NC)
-    lane_base = jnp.arange(NL, dtype=jnp.int32)
+    # Traceback (src/filter.c:29-41): from (R-1, final_col) slide left over
+    # horizontal decisions, take the vertical, move up — S iterations.
+    # "Slide left" is precomputed as lastv[row, col] = max col' <= col with
+    # a vertical decision in this row (or 0 = the col-0 stop sentinel).
+    vert = jnp.concatenate(
+        [jnp.zeros((1, NL, R), jnp.bool_), vert_cols], axis=0
+    )  # (NC, NL, R), col-0 decisions are stops
+    col_ids = jnp.arange(NC, dtype=jnp.int32)[:, None, None]
+    lastv = jax.lax.cummax(
+        jnp.where(vert, col_ids, 0), axis=0
+    )  # (NC, NL, R)
 
-    def tb_step(carry, _):
-        row, col, done, selected = carry
-        d = jnp.take_along_axis(D_flat, (row * NC + col)[:, None], axis=1)[:, 0]
-        take_v = (d == 2) & ~done
-        take_h = (d == 1) & ~done
-        pos = col + (row - 1) * sl - 1
-        slot = (R - 1) - row  # 0-based selection index
-        onehot = (
-            jnp.arange(S, dtype=jnp.int32)[None, :] == slot[:, None]
-        ) & take_v[:, None]
-        selected = jnp.where(onehot, pos[:, None], selected)
-        row = row - take_v.astype(jnp.int32)
-        col = col - take_h.astype(jnp.int32)
-        done = done | (d == 3)
-        return (row, col, done, selected), None
-
-    init = (
-        jnp.full((NL,), R - 1, jnp.int32),
-        final_col,
-        degenerate,
-        jnp.full((NL, S), -1, jnp.int32),
-    )
-    num_steps = (R - 1) + (NC - 1) + 1
-    (row, col, done, selected), _ = jax.lax.scan(
-        tb_step, init, None, length=num_steps
-    )
+    selected = jnp.full((NL, S), -1, jnp.int32)
+    col = final_col
+    ok = ~degenerate
+    for row in range(R - 1, 0, -1):
+        # c* = last vertical column in this row at or left of `col`.
+        c_star = jnp.take_along_axis(
+            lastv[:, :, row].T, jnp.clip(col, 0, NC - 1)[:, None], axis=1
+        )[:, 0]
+        hit = ok & (c_star > 0)
+        pos = c_star + (row - 1) * sl - 1
+        slot = (R - 1) - row
+        selected = selected.at[:, slot].set(jnp.where(hit, pos, -1))
+        col = c_star  # vertical moves up in the same column
+        ok = hit
     complete = jnp.all(selected >= 0, axis=1) & ~degenerate
-    del lane_base
     return SeedSelection(selected, min_total, complete, degenerate)

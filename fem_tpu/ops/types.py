@@ -27,21 +27,45 @@ from fem_tpu.io.fastx import Reference
 
 class DeviceIndex(NamedTuple):
     lookup: jnp.ndarray  # (4^k + 1,) int32 CSR offsets
-    occ_sid: jnp.ndarray  # (n,) int32 chromosome ids
-    occ_pos: jnp.ndarray  # (n,) int32 in-chromosome positions
+    freq_table: jnp.ndarray  # (4^k,) int32 lookup[h+1]-lookup[h] (one gather per query)
+    occ_rows: jnp.ndarray  # (ceil(n/8)+1, 16) uint32 — (sid,pos) pairs, 8 per 64B row
     ref_flat: jnp.ndarray  # (total,) uint8 flat genome codes with gaps
+    ref_rows: jnp.ndarray  # (total/64, 16) uint32 — same bytes, 64B rows
     ref_offsets: jnp.ndarray  # (num_seqs,) int32 offsets into ref_flat
     ref_lengths: jnp.ndarray  # (num_seqs,) int32 chromosome lengths
     num_occurrences: jnp.ndarray  # () int32
 
 
+_ROW_BYTES = 64
+_ROW_WORDS = _ROW_BYTES // 4
+
+
 def device_index_from_host(index: FemIndex, reference: Reference) -> DeviceIndex:
     sid, pos = index.split_sid_pos()
+    flat = reference.flat_codes
+    padded = len(flat) + (-len(flat)) % _ROW_BYTES + _ROW_BYTES
+    buf = np.full(padded, 4, np.uint8)
+    buf[: len(flat)] = flat
+    # 64-byte rows viewed as little-endian u32 words: TPU element gathers
+    # are slow but row gathers are fast, so banded windows are fetched as
+    # 3 aligned row gathers + an in-register barrel shift (ops/verify.py).
+    rows = buf.view(np.uint32).reshape(-1, _ROW_WORDS)
+    # Occurrence table as interleaved (sid, pos) u32 pairs, 8 pairs per
+    # 64-byte row: the candidate slab fetch is aligned row gathers + a
+    # pair-granular barrel shift (ops/candidates.py), not element gathers.
+    n = sid.shape[0]
+    n_rows = -(-n // 8) + 1
+    occ_pairs = np.zeros((n_rows * 8, 2), np.uint32)
+    occ_pairs[:n, 0] = sid.astype(np.uint32)
+    occ_pairs[:n, 1] = pos.astype(np.uint32)
+    occ_rows = occ_pairs.reshape(n_rows, 16)
+    lookup_i32 = index.lookup.astype(np.int32)
     return DeviceIndex(
-        lookup=jnp.asarray(index.lookup.astype(np.int32)),
-        occ_sid=jnp.asarray(sid),
-        occ_pos=jnp.asarray(pos),
+        lookup=jnp.asarray(lookup_i32),
+        freq_table=jnp.asarray(np.diff(lookup_i32)),
+        occ_rows=jnp.asarray(occ_rows),
         ref_flat=jnp.asarray(reference.flat_codes),
+        ref_rows=jnp.asarray(rows),
         ref_offsets=jnp.asarray(reference.offsets.astype(np.int32)),
         ref_lengths=jnp.asarray(reference.lengths.astype(np.int32)),
         num_occurrences=jnp.asarray(np.int32(index.num_occurrences)),

@@ -130,12 +130,15 @@ def map_main(argv: list[str]) -> int:
             total += stats
     else:
         from fem_tpu.pipeline.engine import EngineConfig, MappingEngine
+        from fem_tpu.pipeline.prefetch import ThreadedBatchSource
 
         engine = MappingEngine(
             fem_args, reference, index, EngineConfig(batch_size=args.batch_size)
         )
-        for batch in stream_fastq_batches(args.read1, batch_size=args.batch_size):
-            recs, stats = engine.map_batch(batch)
+        source = ThreadedBatchSource(
+            stream_fastq_batches(args.read1, batch_size=args.batch_size)
+        )
+        for recs, stats in engine.map_stream(source):
             for r in recs:
                 writer.write_record(r)
             total += stats

@@ -165,8 +165,11 @@ class MappingEngine:
             self._fns[key] = (fn, verify_cap)
         return self._fns[key]
 
-    def map_batch(self, batch: ReadBatch) -> Tuple[List[bytes], MappingStats]:
-        """Map one read batch; returns SAM records in read order + stats."""
+    def submit_batch(self, batch: ReadBatch):
+        """Dispatch one batch to the device without blocking; pair with
+        `drain_batch`. Keeping a batch in flight while the host emits the
+        previous one is the TPU equivalent of the reference's reader/
+        mapper/writer thread overlap (src/FEM_map.c:174-198)."""
         B = self.config.batch_size
         n = batch.num_reads
         codes = batch.codes
@@ -178,6 +181,10 @@ class MappingEngine:
             lengths = np.concatenate([lengths, np.zeros(B - n, np.int32)])
         fn, verify_cap = self._fn_for(B, codes.shape[1])
         out = fn(self.dindex, jnp.asarray(codes), jnp.asarray(lengths))
+        return batch, out
+
+    def drain_batch(self, pending) -> Tuple[List[bytes], MappingStats]:
+        batch, out = pending
         out = {k: np.asarray(v) for k, v in out.items()}
 
         if out["slab_overflow"].any():
@@ -199,6 +206,22 @@ class MappingEngine:
                 out[k] = out[k].reshape(nshards, 2, -1).transpose(1, 0, 2).reshape(-1)
 
         return self._emit(batch, out)
+
+    def map_batch(self, batch: ReadBatch) -> Tuple[List[bytes], MappingStats]:
+        """Map one read batch synchronously; SAM chunks in read order + stats."""
+        return self.drain_batch(self.submit_batch(batch))
+
+    def map_stream(self, batches):
+        """Map a stream of batches with device/host overlap: batch N+1 is
+        on the device while batch N's hits are traced back and emitted."""
+        pending = None
+        for batch in batches:
+            cur = self.submit_batch(batch)
+            if pending is not None:
+                yield self.drain_batch(pending)
+            pending = cur
+        if pending is not None:
+            yield self.drain_batch(pending)
 
     def _map_batch_split(self, batch: ReadBatch) -> Tuple[List[bytes], MappingStats]:
         mid = max(batch.num_reads // 2, 1)

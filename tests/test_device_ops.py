@@ -162,3 +162,20 @@ def test_verify_matches_golden(world, default_args):
         else:
             assert not acc[i]
     assert n_acc > 0
+
+
+def test_gather_windows_row_path(world, rng):
+    """The row-gather + barrel-shift window fetch must equal direct slices."""
+    from fem_tpu.ops.verify import gather_windows
+
+    seqs, ref, index, mapper, dindex, reads = world
+    W = 114
+    V = 257
+    sid = rng.integers(0, ref.num_seqs, V).astype(np.int32)
+    pos = np.array(
+        [rng.integers(0, ref.lengths[s] - W) for s in sid], dtype=np.int32
+    )
+    got = np.asarray(gather_windows(dindex, jnp.asarray(sid), jnp.asarray(pos), W))
+    for i in range(V):
+        off = int(ref.offsets[sid[i]]) + int(pos[i])
+        np.testing.assert_array_equal(got[i], ref.flat_codes[off : off + W])

@@ -54,7 +54,7 @@ def test_engine_matches_golden_records_and_stats(engine_world):
     )
     assert stats.num_candidates == gstats.num_candidates
     assert stats.num_mappings == gstats.num_mappings
-    assert recs == grecs  # byte-identical SAM records, same order
+    assert b"".join(recs) == b"".join(grecs)  # byte-identical SAM output
 
 
 def test_engine_partial_batch_padding(engine_world):
@@ -64,7 +64,7 @@ def test_engine_partial_batch_padding(engine_world):
     recs, stats = engine.map_batch(batch)
     grecs, gstats = golden.map_reads(batch.names, batch.seqs, batch.quals)
     assert stats.num_reads == 10
-    assert recs == grecs
+    assert b"".join(recs) == b"".join(grecs)
     assert stats.num_mappings == gstats.num_mappings
 
 
@@ -87,7 +87,7 @@ def test_engine_mixed_lengths_and_ns(engine_world):
     batch = _batch_from_reads(muts)
     recs, stats = engine.map_batch(batch)
     grecs, gstats = golden.map_reads(batch.names, batch.seqs, batch.quals)
-    assert recs == grecs
+    assert b"".join(recs) == b"".join(grecs)
     assert stats.num_candidates == gstats.num_candidates
     assert stats.num_mappings == gstats.num_mappings
 
@@ -100,5 +100,5 @@ def test_engine_repeat_read_all_mappings(engine_world):
     )
     recs, stats = engine.map_batch(batch)
     grecs, _ = golden.map_reads(batch.names, batch.seqs, batch.quals)
-    assert recs == grecs
-    assert len(recs) >= 2  # both repeat copies reported
+    assert b"".join(recs) == b"".join(grecs)
+    assert b"".join(recs).count(b"\n") >= 2  # both repeat copies reported

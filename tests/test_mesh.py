@@ -35,7 +35,7 @@ def test_sharded_engine_matches_golden(
     batch = _batch_from_reads(reads)
     recs, stats = engine.map_batch(batch)
     grecs, gstats = golden.map_reads(batch.names, batch.seqs, batch.quals)
-    assert recs == grecs
+    assert b"".join(recs) == b"".join(grecs)
     assert stats.num_reads == gstats.num_reads
     assert stats.num_mapped_reads == gstats.num_mapped_reads
     assert stats.num_candidates == gstats.num_candidates
