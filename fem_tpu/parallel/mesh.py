@@ -40,6 +40,7 @@ def make_sharded_map_fn(
     params: FilterParams,
     verify_cap_per_shard: int,
     use_pallas: bool,
+    accept_cap: int = 4096,
     axis: str = DATA_AXIS,
 ):
     """Build a jitted, shard_mapped full mapping step.
@@ -50,36 +51,32 @@ def make_sharded_map_fn(
     """
     n = mesh.shape[axis]
 
-    def shard_fn(index: DeviceIndex, codes: jnp.ndarray, lengths: jnp.ndarray):
-        out = map_core(index, codes, lengths, params, verify_cap_per_shard, use_pallas)
-        # Globalize verify-slab lane ids: local lanes are [0, 2*Bloc) with
+    def shard_fn(index: DeviceIndex, packed_in: jnp.ndarray):
+        codes = packed_in[:, :-4]
+        lb = packed_in[:, -4:].astype(jnp.int32)
+        lengths = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
+        out = map_core(
+            index, codes, lengths, params, verify_cap_per_shard, use_pallas,
+            accept_cap,
+        )
+        # Globalize accepted-hit lane ids: local lanes are [0, 2*Bloc) with
         # strand-major halves; global ids keep strand-major halves over the
         # global batch so the host's grouping logic is shard-agnostic.
         Bloc = codes.shape[0]
         shard = jax.lax.axis_index(axis)
-        l = out["v_lane"]
+        l = out["a_lane"]
         strand = (l >= Bloc).astype(jnp.int32)
-        out["v_lane"] = strand * (n * Bloc) + shard * Bloc + (l - strand * Bloc)
+        out["a_lane"] = strand * (n * Bloc) + shard * Bloc + (l - strand * Bloc)
         out["total_candidates"] = jax.lax.psum(out["total_candidates"], axis)
-        return out
+        from fem_tpu.pipeline.engine import pack_outputs
+
+        return pack_outputs(out)
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)),
-        out_specs={
-            "v_lane": P(axis),
-            "v_sid": P(axis),
-            "v_pos": P(axis),
-            "v_ed": P(axis),
-            "v_end": P(axis),
-            "accepted": P(axis),
-            "num_candidates": P(axis),
-            "dp_total": P(axis),
-            "needs_fallback": P(axis),
-            "total_candidates": P(),
-            "slab_overflow": P(axis),
-        },
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
         check_vma=False,
     )
     return jax.jit(fn)

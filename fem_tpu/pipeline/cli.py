@@ -86,6 +86,14 @@ def map_main(argv: list[str]) -> int:
         default="device",
         help="device = TPU pipeline, golden = scalar oracle",
     )
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace to this directory")
+    p.add_argument("--stats-json", default=None,
+                   help="write pipeline metrics + counters as JSON")
+    p.add_argument("--checkpoint", default=None,
+                   help="progress file enabling resume after interruption")
+    p.add_argument("--verbose-batches", action="store_true",
+                   help="log per-batch mapping time (reference map.c:57)")
     args = p.parse_args(argv)
 
     # Constraint surface of check_args (src/FEM_map.c:29-55).
@@ -120,29 +128,95 @@ def map_main(argv: list[str]) -> int:
     )
     total = MappingStats()
     t0 = time.time()
-    writer = SamWriter(args.output, reference.names, reference.lengths.tolist())
-    if args.engine == "golden":
-        mapper = GoldenMapper(fem_args, reference, index)
-        for batch in stream_fastq_batches(args.read1, batch_size=args.batch_size):
-            recs, stats = mapper.map_reads(batch.names, batch.seqs, batch.quals)
-            for r in recs:
-                writer.write_record(r)
-            total += stats
-    else:
-        from fem_tpu.pipeline.engine import EngineConfig, MappingEngine
-        from fem_tpu.pipeline.prefetch import ThreadedBatchSource
 
-        engine = MappingEngine(
-            fem_args, reference, index, EngineConfig(batch_size=args.batch_size)
-        )
-        source = ThreadedBatchSource(
-            stream_fastq_batches(args.read1, batch_size=args.batch_size)
-        )
-        for recs, stats in engine.map_stream(source):
+    # Resume support (aux: persisted read-stream offset; the reference's
+    # only checkpoint is the index itself — mapping is a stateless stream,
+    # so resume = skip already-processed reads).
+    skip_reads = 0
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        with open(args.checkpoint) as f:
+            skip_reads = int(f.read().strip() or 0)
+        print(f"Resuming after {skip_reads} reads.", file=sys.stderr)
+
+    def batches():
+        skipped = 0
+        for batch in stream_fastq_batches(args.read1, batch_size=args.batch_size):
+            if skipped + batch.num_reads <= skip_reads:
+                skipped += batch.num_reads
+                continue
+            yield batch
+
+    mode = "ab" if skip_reads else "wb"
+    if skip_reads:
+        writer_file = open(args.output, "ab")
+        writer = None
+    else:
+        writer = SamWriter(args.output, reference.names, reference.lengths.tolist())
+        writer_file = None
+
+    def write_chunks(recs):
+        if writer is not None:
             for r in recs:
                 writer.write_record(r)
-            total += stats
-    writer.close()
+        else:
+            for r in recs:
+                writer_file.write(r)
+
+    from fem_tpu.utils.metrics import PipelineMetrics, Timer
+
+    metrics = PipelineMetrics()
+    profiling = False
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        profiling = True
+    processed = skip_reads
+    try:
+        if args.engine == "golden":
+            mapper = GoldenMapper(fem_args, reference, index)
+            for batch in batches():
+                bt = Timer()
+                recs, stats = mapper.map_reads(batch.names, batch.seqs, batch.quals)
+                write_chunks(recs)
+                total += stats
+                processed += batch.num_reads
+                metrics.batch(batch.num_reads, len(recs), 0.0, bt.elapsed())
+                if args.verbose_batches:
+                    print(f"Mapped read batch in {bt.elapsed():f}s.", file=sys.stderr)
+        else:
+            from fem_tpu.pipeline.engine import EngineConfig, MappingEngine
+            from fem_tpu.pipeline.prefetch import ThreadedBatchSource
+
+            engine = MappingEngine(
+                fem_args, reference, index, EngineConfig(batch_size=args.batch_size)
+            )
+            source = ThreadedBatchSource(batches())
+            bt = Timer()
+            for recs, stats in engine.map_stream(source):
+                write_chunks(recs)
+                total += stats
+                processed += stats.num_reads
+                dt = bt.reset()
+                metrics.batch(stats.num_reads, len(recs), 0.0, dt)
+                if args.verbose_batches:
+                    print(f"Mapped read batch in {dt:f}s.", file=sys.stderr)
+                if args.checkpoint:
+                    with open(args.checkpoint + ".tmp", "w") as f:
+                        f.write(str(processed))
+                    os.replace(args.checkpoint + ".tmp", args.checkpoint)
+    finally:
+        if profiling:
+            import jax
+
+            jax.profiler.stop_trace()
+    if writer is not None:
+        writer.close()
+    else:
+        writer_file.close()
+    metrics.wall_total_s = time.time() - t0
+    if args.stats_json:
+        metrics.dump_json(args.stats_json, total)
 
     # The five oracle counters (src/FEM_map.c:214-219).
     print(f"The number of read: {total.num_reads}", file=sys.stderr)

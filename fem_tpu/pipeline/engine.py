@@ -36,6 +36,8 @@ class EngineConfig:
     cap_occ: int = 256
     cap_cand: int = 256
     verify_per_read: int = 16  # verify slots per read-strand lane (avg)
+    accept_per_read: int = 4  # accepted-mapping slots per read (avg)
+    pipeline_depth: int = 3  # batches kept in flight on the device
     use_pallas: bool | None = None  # None = auto (TPU only)
     mesh: object | None = None  # jax.sharding.Mesh for multi-chip data parallelism
 
@@ -47,6 +49,7 @@ def map_core(
     params: FilterParams,
     verify_cap: int,
     use_pallas: bool,
+    accept_cap: int = 4096,
 ):
     """The full per-batch mapping step, both strands, as one traceable
     function: hash -> DP seed selection -> candidate filter -> verify.
@@ -88,14 +91,28 @@ def map_core(
         vres = verify_candidates_jnp(index, v_sid, v_pos, v_text, v_len, e)
     in_use = jnp.arange(verify_cap, dtype=jnp.int32) < jnp.minimum(total, verify_cap)
     accepted = vres.accepted & in_use
+
+    # Compact accepted hits on-device: host round trips ride a remote
+    # tunnel, so the result payload must stay tiny. Slab order (lane-major,
+    # ascending) is preserved.
+    acc_cap = max(accept_cap, 8)
+    a_order = jnp.cumsum(accepted.astype(jnp.int32)) - 1
+    n_accepted = accepted.sum().astype(jnp.int32)
+    a_slot = jnp.where(accepted, a_order, acc_cap)  # OOB scatters drop
+
+    def compact(x):
+        return jnp.zeros((acc_cap,), x.dtype).at[a_slot].set(x)
+
     return {
-        "slab_overflow": (total > verify_cap).reshape(1),
-        "v_lane": v_lane,
-        "v_sid": v_sid,
-        "v_pos": v_pos,
-        "v_ed": vres.edit_distance,
-        "v_end": vres.end_offset,
-        "accepted": accepted,
+        "slab_overflow": (
+            (total > verify_cap) | (n_accepted > acc_cap)
+        ).reshape(1),
+        "a_lane": compact(v_lane),
+        "a_sid": compact(v_sid),
+        "a_pos": compact(v_pos),
+        "a_ed": compact(vres.edit_distance),
+        "a_end": compact(vres.end_offset),
+        "n_accepted": n_accepted.reshape(1),
         "num_candidates": cand.num_candidates,
         "dp_total": cand.dp_total,
         "needs_fallback": cand.needs_fallback,
@@ -103,10 +120,71 @@ def map_core(
     }
 
 
-def _make_device_fn(params: FilterParams, verify_cap: int, use_pallas: bool):
+def pack_outputs(out: dict) -> jnp.ndarray:
+    """Fuse all mapping outputs into one int32 vector: the host<->device
+    link is a high-latency tunnel, so results travel as a single transfer.
+    Layout: [n_accepted, slab_overflow, total_candidates,
+             a_lane|a_sid|a_pos|a_ed|a_end (acc_cap each),
+             num_candidates|dp_total|needs_fallback (NB each)]."""
+    return jnp.concatenate(
+        [
+            out["n_accepted"].astype(jnp.int32),
+            out["slab_overflow"].astype(jnp.int32),
+            out["total_candidates"].reshape(1).astype(jnp.int32),
+            out["a_lane"],
+            out["a_sid"],
+            out["a_pos"],
+            out["a_ed"],
+            out["a_end"],
+            out["num_candidates"].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(out["dp_total"], jnp.int32),
+            out["needs_fallback"].astype(jnp.int32),
+        ]
+    )
+
+
+def unpack_outputs(flat: np.ndarray, acc_cap: int, NB: int, nshards: int) -> dict:
+    """Invert pack_outputs; with nshards > 1 the flat buffer is a
+    concatenation of per-shard packed segments."""
+    seg = 3 + 5 * acc_cap + 3 * NB
+    assert flat.shape[0] == seg * nshards, (flat.shape, seg, nshards)
+    parts = [flat[i * seg : (i + 1) * seg] for i in range(nshards)]
+
+    def field(lo, n):
+        return [p[lo : lo + n] for p in parts]
+
+    out = {
+        "n_accepted": np.concatenate(field(0, 1)),
+        "slab_overflow": np.concatenate(field(1, 1)),
+        "total_candidates": parts[0][2:3],
+        "a_lane": np.concatenate(field(3, acc_cap)),
+        "a_sid": np.concatenate(field(3 + acc_cap, acc_cap)),
+        "a_pos": np.concatenate(field(3 + 2 * acc_cap, acc_cap)),
+        "a_ed": np.concatenate(field(3 + 3 * acc_cap, acc_cap)),
+        "a_end": np.concatenate(field(3 + 4 * acc_cap, acc_cap)),
+        "num_candidates": np.concatenate(field(3 + 5 * acc_cap, NB)),
+        "dp_total": np.concatenate(field(3 + 5 * acc_cap + NB, NB)).view(np.uint32),
+        "needs_fallback": np.concatenate(
+            field(3 + 5 * acc_cap + 2 * NB, NB)
+        ).astype(bool),
+    }
+    return out
+
+
+def _make_device_fn(
+    params: FilterParams, verify_cap: int, accept_cap: int, use_pallas: bool
+):
     @jax.jit
-    def run(index: DeviceIndex, codes: jnp.ndarray, lengths: jnp.ndarray):
-        return map_core(index, codes, lengths, params, verify_cap, use_pallas)
+    def run(index: DeviceIndex, packed_in: jnp.ndarray):
+        # packed_in: (B, Lmax + 4) uint8 — codes row followed by the read
+        # length as 4 little-endian bytes (single H2D transfer).
+        codes = packed_in[:, :-4]
+        lb = packed_in[:, -4:].astype(jnp.int32)
+        lengths = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
+        out = map_core(
+            index, codes, lengths, params, verify_cap, use_pallas, accept_cap
+        )
+        return pack_outputs(out)
 
     return run
 
@@ -151,6 +229,7 @@ class MappingEngine:
                 cap_cand=self.config.cap_cand,
             )
             verify_cap = 2 * batch_size * self.config.verify_per_read
+            accept_cap = max(2 * batch_size * self.config.accept_per_read, 64)
             if self.config.mesh is not None:
                 from fem_tpu.parallel.mesh import make_sharded_map_fn
 
@@ -158,10 +237,13 @@ class MappingEngine:
                 if batch_size % n:
                     raise ValueError(f"batch size {batch_size} not divisible by mesh size {n}")
                 fn = make_sharded_map_fn(
-                    self.config.mesh, params, verify_cap // n, self.config.use_pallas
+                    self.config.mesh, params, verify_cap // n,
+                    self.config.use_pallas, accept_cap=accept_cap // n,
                 )
             else:
-                fn = _make_device_fn(params, verify_cap, self.config.use_pallas)
+                fn = _make_device_fn(
+                    params, verify_cap, accept_cap, self.config.use_pallas
+                )
             self._fns[key] = (fn, verify_cap)
         return self._fns[key]
 
@@ -172,20 +254,26 @@ class MappingEngine:
         mapper/writer thread overlap (src/FEM_map.c:174-198)."""
         B = self.config.batch_size
         n = batch.num_reads
-        codes = batch.codes
-        lengths = batch.lengths
-        if n < B:  # pad to the static batch shape; padded lanes are inert
-            codes = np.concatenate(
-                [codes, np.full((B - n, codes.shape[1]), 4, np.uint8)], axis=0
-            )
-            lengths = np.concatenate([lengths, np.zeros(B - n, np.int32)])
-        fn, verify_cap = self._fn_for(B, codes.shape[1])
-        out = fn(self.dindex, jnp.asarray(codes), jnp.asarray(lengths))
+        Lmax = batch.codes.shape[1]
+        # Single fused H2D buffer: codes + 4 little-endian length bytes.
+        packed = np.full((B, Lmax + 4), 4, np.uint8)
+        packed[:n, :Lmax] = batch.codes
+        packed[n:, Lmax:] = 0
+        packed[:n, Lmax:] = (
+            batch.lengths.astype("<i4").view(np.uint8).reshape(n, 4)
+        )
+        fn, verify_cap = self._fn_for(B, Lmax)
+        out = fn(self.dindex, jnp.asarray(packed))
         return batch, out
 
     def drain_batch(self, pending) -> Tuple[List[bytes], MappingStats]:
-        batch, out = pending
-        out = {k: np.asarray(v) for k, v in out.items()}
+        batch, flat = pending
+        B = self.config.batch_size
+        nshards = self.config.mesh.devices.size if self.config.mesh is not None else 1
+        acc_cap = max(2 * B * self.config.accept_per_read, 64) // nshards
+        out = unpack_outputs(
+            np.asarray(flat), acc_cap, 2 * B // nshards, nshards
+        )
 
         if out["slab_overflow"].any():
             if batch.num_reads == 1:
@@ -211,17 +299,21 @@ class MappingEngine:
         """Map one read batch synchronously; SAM chunks in read order + stats."""
         return self.drain_batch(self.submit_batch(batch))
 
-    def map_stream(self, batches):
-        """Map a stream of batches with device/host overlap: batch N+1 is
-        on the device while batch N's hits are traced back and emitted."""
-        pending = None
+    def map_stream(self, batches, depth: int | None = None):
+        """Map a stream of batches keeping `depth` batches in flight: hides
+        both host emission time and the host<->device round-trip latency
+        behind device compute (the reference's 3-stage thread overlap,
+        src/FEM_map.c:174-198, plus transfer latency hiding)."""
+        from collections import deque
+
+        depth = depth or self.config.pipeline_depth
+        q: deque = deque()
         for batch in batches:
-            cur = self.submit_batch(batch)
-            if pending is not None:
-                yield self.drain_batch(pending)
-            pending = cur
-        if pending is not None:
-            yield self.drain_batch(pending)
+            q.append(self.submit_batch(batch))
+            if len(q) >= depth:
+                yield self.drain_batch(q.popleft())
+        while q:
+            yield self.drain_batch(q.popleft())
 
     def _map_batch_split(self, batch: ReadBatch) -> Tuple[List[bytes], MappingStats]:
         mid = max(batch.num_reads // 2, 1)
@@ -258,16 +350,7 @@ class MappingEngine:
         n = batch.num_reads
         B = self.config.batch_size
         stats = MappingStats(num_reads=n)
-        acc = out["accepted"]
-        a_lane = out["v_lane"][acc]
-        a_sid = out["v_sid"][acc]
-        a_pos = out["v_pos"][acc]
-        a_ed = out["v_ed"][acc]
-        a_end = out["v_end"][acc]
-        sort = np.argsort(a_lane, kind="stable")
-        a_lane, a_sid, a_pos, a_ed, a_end = (
-            a_lane[sort], a_sid[sort], a_pos[sort], a_ed[sort], a_end[sort]
-        )
+        a_lane, a_sid, a_pos, a_ed, a_end = self._accepted_arrays(out)
         read_id = a_lane % B
         # Generation order per read: + strand then - strand, each ascending
         # (src/map.c:29-49); stable sort by read id preserves exactly that.
@@ -295,23 +378,34 @@ class MappingEngine:
         )
         return ([blob] if blob else []), stats
 
+    def _accepted_arrays(self, out: dict):
+        """Accepted-hit arrays trimmed to true counts and stable-sorted by
+        lane (on a mesh the shards concatenate shard-major; stability keeps
+        each lane's candidates in ascending band-position order)."""
+        n_acc = out["n_accepted"]
+        if n_acc.shape[0] > 1:  # per-shard compacted segments
+            cap = out["a_lane"].shape[0] // n_acc.shape[0]
+            keep = np.concatenate(
+                [
+                    np.arange(int(c)) + i * cap
+                    for i, c in enumerate(n_acc)
+                ]
+            ).astype(np.int64)
+        else:
+            keep = np.arange(int(n_acc[0]))
+        a_lane = out["a_lane"][keep]
+        a_sid = out["a_sid"][keep]
+        a_pos = out["a_pos"][keep]
+        a_ed = out["a_ed"][keep]
+        a_end = out["a_end"][keep]
+        sort = np.argsort(a_lane, kind="stable")
+        return a_lane[sort], a_sid[sort], a_pos[sort], a_ed[sort], a_end[sort]
+
     def _emit_python(self, batch: ReadBatch, out: dict) -> Tuple[List[bytes], MappingStats]:
         n = batch.num_reads
         B = self.config.batch_size
         stats = MappingStats(num_reads=n)
-        acc = out["accepted"]
-        a_lane = out["v_lane"][acc]
-        a_sid = out["v_sid"][acc]
-        a_pos = out["v_pos"][acc]
-        a_ed = out["v_ed"][acc]
-        a_end = out["v_end"][acc]
-        # Stable-sort by lane: single-chip slabs are already lane-major; on
-        # a mesh the shards concatenate shard-major, and stability keeps
-        # each lane's candidates in ascending band-position order.
-        sort = np.argsort(a_lane, kind="stable")
-        a_lane, a_sid, a_pos, a_ed, a_end = (
-            a_lane[sort], a_sid[sort], a_pos[sort], a_ed[sort], a_end[sort]
-        )
+        a_lane, a_sid, a_pos, a_ed, a_end = self._accepted_arrays(out)
         bounds = np.searchsorted(a_lane, np.arange(2 * B + 1))
         records: List[bytes] = []
         fallback = out["needs_fallback"]
