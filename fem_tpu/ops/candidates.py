@@ -65,7 +65,18 @@ def generate_candidates(
     ambiguous: jnp.ndarray,  # (NB,) int32
     index: DeviceIndex,
     params: FilterParams,
+    index_axis: str | None = None,
 ) -> CandidateResult:
+    """With `index_axis` set, the occurrence table is coordinate-sharded
+    over that mesh axis (whole chromosomes per shard): `index.freq_table`
+    holds *global* frequencies (the DP and the stable frequency sort are
+    global decisions) while `index.lookup`/`index.occ_rows` are the local
+    shard's CSR. The only cross-shard dependency in the filter is the
+    last-seed truncation threshold — a lexicographic max over the other
+    seeds' diagonal positions — realized as two pmaxes. The pigeonhole
+    vote and greedy dedup never cross chromosome boundaries, so they stay
+    local; callers psum candidate counts over the axis.
+    """
     NB = codes.shape[0]
     G = params.step_size
     NG = params.max_group_size
@@ -119,12 +130,18 @@ def generate_candidates(
     sel_hash = jnp.take_along_axis(group_hashes, sel_pc, axis=2)
     sfreq = jnp.take_along_axis(freqs, sel_pc, axis=2).astype(jnp.int32)
     sstart_off = jnp.take(index.lookup, sel_hash, mode="clip")
-    # Stable ascending sort by frequency; ties keep traceback order — this
-    # mirrors glibc qsort's (stable msort) behavior on the 3-way comparator
-    # (src/utils.h:126-136).
+    if index_axis is None:
+        lfreq = sfreq  # local == global on an unsharded index
+    else:
+        lfreq = (
+            jnp.take(index.lookup, sel_hash + 1, mode="clip") - sstart_off
+        )
+    # Stable ascending sort by *global* frequency; ties keep traceback
+    # order — this mirrors glibc qsort's (stable msort) behavior on the
+    # 3-way comparator (src/utils.h:126-136).
     order = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (NB, G, S))
-    sfreq_s, _, start_s, off_s = jax.lax.sort(
-        (sfreq, order, start, sstart_off), dimension=2, num_keys=2
+    sfreq_s, _, start_s, off_s, lfreq_s = jax.lax.sort(
+        (sfreq, order, start, sstart_off, lfreq), dimension=2, num_keys=2
     )
 
     # ---- occurrence gather into CAP slots (8-slot chunk aligned) -----------
@@ -135,7 +152,7 @@ def generate_candidates(
     # (same trick as gather_windows in ops/verify.py).
     assert CAP % 8 == 0, "cap_occ must be a multiple of 8"
     NCH = CAP // 8
-    fc = jnp.minimum(sfreq_s, CAP + 1)  # clamp for slot math; flags overflow
+    fc = jnp.minimum(lfreq_s, CAP + 1)  # clamp for slot math; flags overflow
     fc8 = ((fc + 7) // 8) * 8
     pfx8 = jnp.cumsum(fc8, axis=2) - fc8  # exclusive, 8-aligned slot space
     total_c = pfx8[..., -1] + fc8[..., -1]
@@ -184,9 +201,13 @@ def generate_candidates(
     # ---- last-seed truncation (src/filter.c:85) ----------------------------
     others = slot_valid & ~is_last
     tsid = jnp.max(jnp.where(others, sid, -1), axis=2, keepdims=True)
+    if index_axis is not None:
+        tsid = jax.lax.pmax(tsid, index_axis)
     tpos = jnp.max(
         jnp.where(others & (sid == tsid), diag, -1), axis=2, keepdims=True
     )
+    if index_axis is not None:
+        tpos = jax.lax.pmax(tpos, index_axis)
     keep_last = (sid < tsid) | ((sid == tsid) & (diag <= tpos))
     slot_valid &= jnp.where(is_last, keep_last, True)
 

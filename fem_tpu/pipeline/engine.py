@@ -40,6 +40,8 @@ class EngineConfig:
     pipeline_depth: int = 3  # batches kept in flight on the device
     use_pallas: bool | None = None  # None = auto (TPU only)
     mesh: object | None = None  # jax.sharding.Mesh for multi-chip data parallelism
+    index_mesh: object | None = None  # 2D ('data','index') Mesh: reads data-
+    # parallel + coordinate-sharded index (GRCh38-scale genomes)
 
 
 def map_core(
@@ -50,6 +52,7 @@ def map_core(
     verify_cap: int,
     use_pallas: bool,
     accept_cap: int = 4096,
+    index_axis: str | None = None,
 ):
     """The full per-batch mapping step, both strands, as one traceable
     function: hash -> DP seed selection -> candidate filter -> verify.
@@ -61,7 +64,9 @@ def map_core(
     lens2 = jnp.concatenate([lengths, lengths], axis=0)
     hashes = seed_hashes(both, params.kmer_size)
     amb = ambiguous_base_counts(both, lens2, params.kmer_size)
-    cand = generate_candidates(both, lens2, hashes, amb, index, params)
+    cand = generate_candidates(
+        both, lens2, hashes, amb, index, params, index_axis=index_axis
+    )
 
     # Compact valid candidates into the verify slab. Flat order is
     # (lane-major, ascending position) — candidate order per strand is
@@ -207,6 +212,9 @@ class MappingEngine:
             self.config.use_pallas = jax.devices()[0].platform == "tpu"
         self._fns: Dict[Tuple[int, int], callable] = {}
         self.fallback_reads = 0
+        self._device_args = None  # set for the coordinate-sharded index mode
+        if self.config.index_mesh is not None:
+            self._init_sharded_index(index)
         self._native = None
         if use_native is None:
             use_native = os.environ.get("FEM_TPU_NO_NATIVE", "") != "1"
@@ -219,6 +227,36 @@ class MappingEngine:
             except Exception:
                 self._native = None
 
+    def _init_sharded_index(self, index: FemIndex) -> None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fem_tpu.parallel.sharded_index import INDEX_AXIS, build_sharded_index
+
+        mesh = self.config.index_mesh
+        n_ip = mesh.shape[INDEX_AXIS]
+        sh = build_sharded_index(index, self.reference, n_ip)
+        shard = lambda x: jax.device_put(x, NamedSharding(mesh, P(INDEX_AXIS)))
+        repl = lambda x: jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+        self._device_args = (
+            shard(sh.lookup),
+            repl(sh.freq_table),
+            shard(sh.occ_rows),
+            shard(sh.ref_flat),
+            shard(sh.ref_rows),
+            shard(sh.ref_offsets),
+            repl(sh.ref_lengths),
+            repl(sh.num_occurrences),
+        )
+
+    def _mesh_shape(self) -> Tuple[int, int]:
+        """(data shards, index shards)."""
+        if self.config.index_mesh is not None:
+            m = self.config.index_mesh
+            return m.shape["data"], m.shape["index"]
+        if self.config.mesh is not None:
+            return self.config.mesh.devices.size, 1
+        return 1, 1
+
     def _fn_for(self, batch_size: int, max_len: int):
         key = (batch_size, max_len)
         if key not in self._fns:
@@ -230,7 +268,22 @@ class MappingEngine:
             )
             verify_cap = 2 * batch_size * self.config.verify_per_read
             accept_cap = max(2 * batch_size * self.config.accept_per_read, 64)
-            if self.config.mesh is not None:
+            if self.config.index_mesh is not None:
+                from fem_tpu.parallel.sharded_index import make_index_sharded_map_fn
+
+                n_dp, n_ip = self._mesh_shape()
+                if batch_size % n_dp:
+                    raise ValueError(
+                        f"batch size {batch_size} not divisible by data mesh {n_dp}"
+                    )
+                fn = make_index_sharded_map_fn(
+                    self.config.index_mesh,
+                    params,
+                    verify_cap // (n_dp * n_ip),
+                    max(accept_cap // (n_dp * n_ip), 8),
+                    self.config.use_pallas,
+                )
+            elif self.config.mesh is not None:
                 from fem_tpu.parallel.mesh import make_sharded_map_fn
 
                 n = self.config.mesh.devices.size
@@ -263,17 +316,24 @@ class MappingEngine:
             batch.lengths.astype("<i4").view(np.uint8).reshape(n, 4)
         )
         fn, verify_cap = self._fn_for(B, Lmax)
-        out = fn(self.dindex, jnp.asarray(packed))
+        if self._device_args is not None:
+            out = fn(*self._device_args, jnp.asarray(packed))
+        else:
+            out = fn(self.dindex, jnp.asarray(packed))
         return batch, out
 
     def drain_batch(self, pending) -> Tuple[List[bytes], MappingStats]:
         batch, flat = pending
         B = self.config.batch_size
-        nshards = self.config.mesh.devices.size if self.config.mesh is not None else 1
-        acc_cap = max(2 * B * self.config.accept_per_read, 64) // nshards
-        out = unpack_outputs(
-            np.asarray(flat), acc_cap, 2 * B // nshards, nshards
-        )
+        n_dp, n_ip = self._mesh_shape()
+        nseg = n_dp * n_ip
+        acc_cap = max(max(2 * B * self.config.accept_per_read, 64) // nseg, 8)
+        out = unpack_outputs(np.asarray(flat), acc_cap, 2 * B // n_dp, nseg)
+        if n_ip > 1:
+            # Per-read counters were psum'd over the index axis; every
+            # index shard carries the same copy — keep shard 0's.
+            for k in ("num_candidates", "dp_total", "needs_fallback"):
+                out[k] = out[k].reshape(n_dp, n_ip, -1)[:, 0].reshape(-1)
 
         if out["slab_overflow"].any():
             if batch.num_reads == 1:
@@ -286,12 +346,12 @@ class MappingEngine:
             # Verify slab overflow: split and recurse (exact, just slower).
             return self._map_batch_split(batch)
 
-        if self.config.mesh is not None:
+        n_dp, _ = self._mesh_shape()
+        if n_dp > 1:
             # Sharded outputs concatenate shard-major; per-read arrays are
             # strand-major *within* each shard — restore global strand-major.
-            nshards = self.config.mesh.devices.size
             for k in ("num_candidates", "dp_total", "needs_fallback"):
-                out[k] = out[k].reshape(nshards, 2, -1).transpose(1, 0, 2).reshape(-1)
+                out[k] = out[k].reshape(n_dp, 2, -1).transpose(1, 0, 2).reshape(-1)
 
         return self._emit(batch, out)
 
