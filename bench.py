@@ -29,10 +29,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main() -> None:
-    genome_mb = float(os.environ.get("FEM_BENCH_GENOME_MB", "4.6"))
-    num_reads = int(os.environ.get("FEM_BENCH_READS", "40000"))
+    # Default config mirrors the north-star operating point (BASELINE.json
+    # config 3: human-chr21-scale genome, 100bp reads, e=5 all-mapping).
+    genome_mb = float(os.environ.get("FEM_BENCH_GENOME_MB", "46"))
+    num_reads = int(os.environ.get("FEM_BENCH_READS", "40960"))
     batch_size = int(os.environ.get("FEM_BENCH_BATCH", "2048"))
-    e = int(os.environ.get("FEM_BENCH_E", "2"))
+    e = int(os.environ.get("FEM_BENCH_E", "5"))
+    repeat_fraction = float(os.environ.get("FEM_BENCH_REPEATS", "0.3"))
+    cap_occ = int(os.environ.get("FEM_BENCH_CAP_OCC", "128"))
+    cap_cand = int(os.environ.get("FEM_BENCH_CAP_CAND", "128"))
     golden_sample = int(os.environ.get("FEM_BENCH_GOLDEN_SAMPLE", "300"))
 
     from fem_tpu import sim
@@ -44,7 +49,9 @@ def main() -> None:
     from tests.test_engine import _batch_from_reads  # reuse batch packing
 
     t0 = time.time()
-    seqs = sim.random_genome(int(genome_mb * 1e6), num_seqs=1, seed=7)
+    seqs = sim.random_genome(
+        int(genome_mb * 1e6), num_seqs=1, seed=7, repeat_fraction=repeat_fraction
+    )
     import tempfile
 
     with tempfile.TemporaryDirectory() as d:
@@ -53,13 +60,15 @@ def main() -> None:
         ref = fastx.read_fasta(p)
     args = FemArgs(error_threshold=e, num_additional_qgrams=1)
     index = build_index(ref, 12, 3)
-    reads = sim.simulate_reads(seqs, num_reads, read_length=100, max_errors=e, seed=9)
+    reads = sim.simulate_reads(
+        seqs, num_reads, read_length=100, max_errors=min(e, 3), seed=9
+    )
     print(f"[bench] setup {time.time()-t0:.1f}s "
-          f"(genome {genome_mb}Mb, {num_reads} reads, e={e})", file=sys.stderr)
+          f"(genome {genome_mb}Mb repeats={repeat_fraction}, {num_reads} reads, e={e})", file=sys.stderr)
 
     engine = MappingEngine(
         args, ref, index,
-        EngineConfig(batch_size=batch_size, cap_occ=128, cap_cand=128,
+        EngineConfig(batch_size=batch_size, cap_occ=cap_occ, cap_cand=cap_cand,
                      verify_per_read=16),
     )
 
@@ -129,8 +138,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"all-mapping reads/s/chip (synthetic {genome_mb}Mb genome, "
-                f"100bp SE, k=12 step=3 e={e} a=1)",
+                "metric": f"all-mapping reads/s/chip (synthetic {genome_mb}Mb "
+                f"genome, {int(repeat_fraction*100)}% repeats, 100bp SE, "
+                f"k=12 step=3 e={e} a=1)",
                 "value": round(reads_per_s, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(reads_per_s / baseline_rps, 2),

@@ -5,8 +5,9 @@ TPU-first layout decisions:
     into two int32 planes — TPUs emulate int64, and two-key lexicographic
     `lax.sort` gives identical ordering to u64 comparison because in-chrom
     positions never approach 2^31.
-  * The CSR lookup table stays a flat int32 HBM array; a frequency query is
-    two gathers (src/index.h:22-28 semantics).
+  * The CSR lookup table stays a flat int32 HBM array with a precomputed
+    4^k frequency table, making a frequency query one gather
+    (src/index.h:22-28 semantics).
   * The reference genome is a single flat uint8 code array with >=
     (max read + 2*7) sentinel bases between chromosomes, so banded windows
     gathered near boundaries never alias a neighbor.

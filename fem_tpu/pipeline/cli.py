@@ -106,7 +106,9 @@ def map_main(argv: list[str]) -> int:
     if not (0 <= args.a <= 2):
         print("Wrong number of additional q-grams.", file=sys.stderr)
         return 1
-    if args.f not in ("g",):
+    if args.f not in ("g", "v"):
+        # The reference accepts both flags but only ever wires group
+        # seeding (src/FEM_map.c:109-117 leaves the 'v' branch empty).
         print("Wrong name of seeding algorithm!", file=sys.stderr)
         return 1
 

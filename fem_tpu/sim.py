@@ -21,15 +21,35 @@ def random_genome(
     num_seqs: int = 1,
     seed: int = 0,
     n_fraction: float = 0.0,
+    repeat_fraction: float = 0.0,
     names: List[bytes] | None = None,
 ) -> List[Tuple[bytes, bytes]]:
-    """Returns [(name, seq_bytes)] with optional sprinkled 'N' bases."""
+    """Returns [(name, seq_bytes)] with optional sprinkled 'N' bases.
+
+    `repeat_fraction` approximates real-genome repeat content (GRCh38 is
+    roughly half repetitive): that fraction of each sequence is built by
+    re-inserting copies of earlier segments (0.5-2 kb) with ~1% point
+    mutations, creating the multi-locus mapping load the ALL-mapping
+    guarantee exists for.
+    """
     rng = np.random.default_rng(seed)
     out = []
     per = length // num_seqs
     for i in range(num_seqs):
-        codes = rng.integers(0, 4, size=per, dtype=np.int64)
-        seq = _BASES[codes].copy()
+        codes = rng.integers(0, 4, size=per, dtype=np.int8)
+        if repeat_fraction > 0:
+            target = int(per * repeat_fraction)
+            placed = 0
+            while placed < target:
+                seg_len = int(rng.integers(500, 2000))
+                src = int(rng.integers(0, max(per - seg_len, 1)))
+                dst = int(rng.integers(0, max(per - seg_len, 1)))
+                seg = codes[src : src + seg_len].copy()
+                muts = rng.random(seg_len) < 0.01
+                seg[muts] = rng.integers(0, 4, size=int(muts.sum()), dtype=np.int8)
+                codes[dst : dst + seg_len] = seg
+                placed += seg_len
+        seq = _BASES[codes.astype(np.int64)].copy()
         if n_fraction > 0:
             mask = rng.random(per) < n_fraction
             seq[mask] = ord("N")

@@ -43,3 +43,15 @@ def test_cli_rejects_bad_args(workdir):
     assert cli.main(["map", "-e", "2", "-f", "x", "--ref", "x", "--index", "y",
                      "--read1", "z", "-o", "w"]) == 1
     assert cli.main(["bogus"]) == 1
+
+
+def test_cli_accepts_v_seeding_flag(workdir):
+    # The reference accepts -f v but still runs group seeding (its 'v'
+    # branch is empty); output must equal the -f g run.
+    d = workdir
+    base = ["map", "-e", "1", "--ref", str(d / "ref.fa"),
+            "--index", str(d / "ref.index"), "--read1", str(d / "reads.fq"),
+            "--engine", "golden", "--batch-size", "60"]
+    assert cli.main(base + ["-f", "v", "-o", str(d / "v.sam")]) == 0
+    assert cli.main(base + ["-f", "g", "-o", str(d / "g.sam")]) == 0
+    assert (d / "v.sam").read_bytes() == (d / "g.sam").read_bytes()
