@@ -124,11 +124,17 @@ def generate_candidates(
 
     # ---- selected-seed attributes, stable-sorted by frequency --------------
     sel_pc = jnp.clip(sel_p, 0, NG - 1)
-    start = jnp.take_along_axis(
-        jnp.broadcast_to(read_pos[None], (NB, G, NG)), sel_pc, axis=2
-    )  # read positions (NB, G, S)
-    sel_hash = jnp.take_along_axis(group_hashes, sel_pc, axis=2)
-    sfreq = jnp.take_along_axis(freqs, sel_pc, axis=2).astype(jnp.int32)
+
+    def at_selected(arr):  # (NB, G, NG) -> (NB, G, S); select chain beats
+        # strided minor-axis gathers on TPU
+        out = jnp.broadcast_to(arr[..., 0, None], sel_pc.shape)
+        for k in range(1, NG):
+            out = jnp.where(sel_pc == k, arr[..., k, None], out)
+        return out
+
+    start = at_selected(jnp.broadcast_to(read_pos[None], (NB, G, NG)))
+    sel_hash = at_selected(group_hashes)
+    sfreq = at_selected(freqs).astype(jnp.int32)
     sstart_off = jnp.take(index.lookup, sel_hash, mode="clip")
     if index_axis is None:
         lfreq = sfreq  # local == global on an unsharded index
@@ -163,8 +169,18 @@ def generate_candidates(
     j_of_c = jnp.zeros((NB, G, NCH), jnp.int32)
     for j in range(1, S):
         j_of_c = j_of_c + (c8[None, None, :] >= pfx8[..., j, None]).astype(jnp.int32)
-    within_c = c8[None, None, :] - jnp.take_along_axis(pfx8, j_of_c, axis=2)
-    pair_idx = jnp.take_along_axis(off_s, j_of_c, axis=2) + within_c
+
+    # Per-chunk attributes of the owning seed. Minor-axis take_along_axis
+    # lowers to slow strided gathers on TPU; with S <= 10 a select chain
+    # is pure VPU work.
+    def of_seed(arr):  # (NB, G, S) -> (NB, G, NCH) via j_of_c
+        out = jnp.broadcast_to(arr[..., 0, None], j_of_c.shape)
+        for j in range(1, S):
+            out = jnp.where(j_of_c == j, arr[..., j, None], out)
+        return out
+
+    within_c = c8[None, None, :] - of_seed(pfx8)
+    pair_idx = of_seed(off_s) + within_c
     row0 = jnp.clip(pair_idx >> 3, 0, index.occ_rows.shape[0] - 2)
     words = jnp.concatenate(
         [
@@ -184,13 +200,13 @@ def generate_candidates(
     pos = words[..., 1:16:2].astype(jnp.int32).reshape(NB, G, CAP)
 
     lane_ok = mappable[:, None] & complete  # (NB, G)
-    fc_j = jnp.take_along_axis(fc, j_of_c, axis=2)
+    fc_j = of_seed(fc)
     slot_in_run = within_c[..., None] + jnp.arange(8, dtype=jnp.int32)
     slot_valid = (
         (slot_in_run < fc_j[..., None]) & lane_ok[..., None, None]
     ).reshape(NB, G, CAP)
     seed_start = jnp.broadcast_to(
-        jnp.take_along_axis(start_s, j_of_c, axis=2)[..., None], (NB, G, NCH, 8)
+        of_seed(start_s)[..., None], (NB, G, NCH, 8)
     ).reshape(NB, G, CAP)
     slot_valid &= pos >= seed_start  # src/filter.c:89-90
     diag = pos - seed_start

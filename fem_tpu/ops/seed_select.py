@@ -81,9 +81,11 @@ def select_qgrams(
     nc_lane = group_sizes - S * sl + 2  # (NL,)
     degenerate = nc_lane < 2
     final_col = jnp.clip(nc_lane - 1, 1, NC - 1)
-    min_total = jnp.take_along_axis(
-        m_last.T, (final_col - 1)[:, None], axis=1
-    )[:, 0]
+    # m_last: (NC-1, NL); per-lane result column via a select chain (the
+    # strided per-lane gather is slow on TPU).
+    min_total = m_last[0]
+    for c in range(1, NC - 1):
+        min_total = jnp.where(final_col - 1 == c, m_last[c], min_total)
     # Degenerate groups (NC < 2): the reference's DP never runs and its
     # result cell M[R-1][0] is the occurrence_table_size sentinel, which it
     # still adds to the pre-filter counter (src/filter.c:9,202).
@@ -106,9 +108,11 @@ def select_qgrams(
     ok = ~degenerate
     for row in range(R - 1, 0, -1):
         # c* = last vertical column in this row at or left of `col`.
-        c_star = jnp.take_along_axis(
-            lastv[:, :, row].T, jnp.clip(col, 0, NC - 1)[:, None], axis=1
-        )[:, 0]
+        lv = lastv[:, :, row]  # (NC, NL)
+        colc = jnp.clip(col, 0, NC - 1)
+        c_star = lv[0]
+        for c in range(1, NC):
+            c_star = jnp.where(colc == c, lv[c], c_star)
         hit = ok & (c_star > 0)
         pos = c_star + (row - 1) * sl - 1
         slot = (R - 1) - row

@@ -14,7 +14,7 @@ def _batch_from_reads(reads):
     from fem_tpu.core.encoding import encode
 
     lengths = np.array([len(r.seq) for r in reads], np.int32)
-    Lmax = 128
+    Lmax = max(128, -(-int(lengths.max()) // 32) * 32)
     codes = np.full((len(reads), Lmax), 4, np.uint8)
     for i, r in enumerate(reads):
         codes[i, : len(r.seq)] = encode(r.seq)
