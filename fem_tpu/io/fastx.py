@@ -30,24 +30,75 @@ class FastxRecord:
     comment: bytes | None = None
 
 
-@dataclasses.dataclass
 class ReadBatch:
     """A fixed-size batch of reads, host-side.
 
     `seqs`/`names`/`quals` are raw bytes (needed for SAM emission and
     char-exact traceback); `codes` is the padded uint8 code matrix fed to
     the device, with `lengths` carrying true read lengths.
+
+    Batches from the native C++ reader instead carry flat blobs with
+    offsets (plus `packed`, the ready-to-upload device buffer); the list
+    views materialize lazily so fallback paths keep working.
     """
 
-    names: List[bytes]
-    seqs: List[bytes]
-    quals: List[bytes]
-    codes: np.ndarray  # (n, max_len) uint8, padded with 4 (ambiguous)
-    lengths: np.ndarray  # (n,) int32
+    def __init__(
+        self,
+        names: List[bytes] | None = None,
+        seqs: List[bytes] | None = None,
+        quals: List[bytes] | None = None,
+        codes: np.ndarray | None = None,
+        lengths: np.ndarray | None = None,
+        packed: np.ndarray | None = None,
+        names_blob: bytes | None = None,
+        name_offsets: np.ndarray | None = None,
+        seqs_blob: bytes | None = None,
+        seq_offsets: np.ndarray | None = None,
+        quals_blob: bytes | None = None,
+        num_reads: int | None = None,
+    ):
+        self._names = names
+        self._seqs = seqs
+        self._quals = quals
+        self.codes = codes
+        self.lengths = lengths
+        self.packed = packed
+        self.names_blob = names_blob
+        self.name_offsets = name_offsets
+        self.seqs_blob = seqs_blob
+        self.seq_offsets = seq_offsets
+        self.quals_blob = quals_blob
+        self._num_reads = num_reads if num_reads is not None else len(seqs or ())
 
     @property
     def num_reads(self) -> int:
-        return len(self.seqs)
+        return self._num_reads
+
+    @staticmethod
+    def _split(blob: bytes, offsets: np.ndarray, n: int) -> List[bytes]:
+        return [bytes(blob[offsets[i] : offsets[i + 1]]) for i in range(n)]
+
+    @property
+    def names(self) -> List[bytes]:
+        if self._names is None:
+            self._names = self._split(self.names_blob, self.name_offsets, self._num_reads)
+        return self._names
+
+    @property
+    def seqs(self) -> List[bytes]:
+        if self._seqs is None:
+            self._seqs = self._split(self.seqs_blob, self.seq_offsets, self._num_reads)
+        return self._seqs
+
+    @property
+    def quals(self) -> List[bytes]:
+        if self._quals is None:
+            self._quals = self._split(self.quals_blob, self.seq_offsets, self._num_reads)
+        return self._quals
+
+    @property
+    def has_blobs(self) -> bool:
+        return self.names_blob is not None
 
 
 def _open(path: str) -> io.BufferedReader:
@@ -169,15 +220,62 @@ def read_fasta(path: str, gap: int = 256) -> Reference:
     return Reference(names, seqs, lengths, offsets, flat)
 
 
+def _probe_fastq(path: str) -> bool:
+    try:
+        with _open(path) as f:
+            return f.peek(1)[:1] == b"@"
+    except Exception:
+        return False
+
+
 def stream_fastq_batches(
-    path: str, batch_size: int = 10000, pad_to_multiple: int = 32
+    path: str,
+    batch_size: int = 10000,
+    pad_to_multiple: int = 32,
+    use_native: bool | None = None,
 ) -> Iterator[ReadBatch]:
     """Yield fixed-size read batches (default 10,000 reads, matching the
-    reference batch geometry src/FEM_map.c:151)."""
+    reference batch geometry src/FEM_map.c:151).
+
+    FASTQ parses through the native C++ reader when available (single C
+    call per batch producing the device upload buffer directly); FASTA,
+    exotic records (reads > 508 bp, very long names) or a missing
+    toolchain fall back to the Python parser, resuming exactly where the
+    native stream stopped."""
+    import os
+
+    yielded = 0
+    if use_native is None:
+        use_native = os.environ.get("FEM_TPU_NO_NATIVE", "") != "1"
+    if use_native and _probe_fastq(path):
+        try:
+            from fem_tpu.native.reader import (
+                NativeReadError,
+                reader_available,
+                stream_fastq_batches_native,
+            )
+
+            if reader_available():
+                try:
+                    for b in stream_fastq_batches_native(
+                        path, batch_size, pad_to_multiple=pad_to_multiple
+                    ):
+                        yield b
+                        yielded += b.num_reads
+                    return
+                except NativeReadError:
+                    pass  # python fallback resumes after `yielded` reads
+        except ImportError:
+            pass
+
     names: List[bytes] = []
     seqs: List[bytes] = []
     quals: List[bytes] = []
+    skip = yielded
     for rec in iter_fastx(path):
+        if skip:
+            skip -= 1
+            continue
         names.append(rec.name)
         seqs.append(rec.seq)
         quals.append(rec.qual if rec.qual is not None else b"I" * len(rec.seq))

@@ -74,9 +74,7 @@ class NativeEmitter:
 
     def emit(
         self,
-        names: List[bytes],
-        seqs: List[bytes],
-        quals: List[bytes],
+        batch,  # ReadBatch (uses blobs directly when present)
         map_counts: np.ndarray,  # (num_reads,) int32 — mappings per read
         m_dir: np.ndarray,  # (M,) uint8, generation order per read
         m_ed: np.ndarray,  # (M,) uint8
@@ -84,9 +82,16 @@ class NativeEmitter:
         m_pos: np.ndarray,  # (M,) int64 band starts
         m_end: np.ndarray,  # (M,) int32 end offsets
     ) -> bytes:
-        names_blob, name_offsets = _blob(names)
-        seqs_blob, seq_offsets = _blob(seqs)
-        quals_blob = b"".join(quals)
+        if getattr(batch, "has_blobs", False):
+            names_blob = batch.names_blob
+            name_offsets = np.ascontiguousarray(batch.name_offsets, np.int64)
+            seqs_blob = batch.seqs_blob
+            seq_offsets = np.ascontiguousarray(batch.seq_offsets, np.int64)
+            quals_blob = batch.quals_blob
+        else:
+            names_blob, name_offsets = _blob(batch.names)
+            seqs_blob, seq_offsets = _blob(batch.seqs)
+            quals_blob = b"".join(batch.quals)
         assert len(quals_blob) == len(seqs_blob)
         map_counts = np.ascontiguousarray(map_counts, np.int32)
         m_dir = np.ascontiguousarray(m_dir, np.uint8)
@@ -112,7 +117,7 @@ class NativeEmitter:
             ctypes.c_char_p(seqs_blob),
             vp(seq_offsets),
             ctypes.c_char_p(quals_blob),
-            len(names),
+            batch.num_reads,
             vp(map_counts),
             vp(m_dir),
             vp(m_ed),

@@ -308,13 +308,16 @@ class MappingEngine:
         B = self.config.batch_size
         n = batch.num_reads
         Lmax = batch.codes.shape[1]
-        # Single fused H2D buffer: codes + 4 little-endian length bytes.
-        packed = np.full((B, Lmax + 4), 4, np.uint8)
-        packed[:n, :Lmax] = batch.codes
-        packed[n:, Lmax:] = 0
-        packed[:n, Lmax:] = (
-            batch.lengths.astype("<i4").view(np.uint8).reshape(n, 4)
-        )
+        if batch.packed is not None and batch.packed.shape[0] == B:
+            packed = batch.packed  # native reader already built the upload
+        else:
+            # Single fused H2D buffer: codes + 4 little-endian length bytes.
+            packed = np.full((B, Lmax + 4), 4, np.uint8)
+            packed[:n, :Lmax] = batch.codes
+            packed[n:, Lmax:] = 0
+            packed[:n, Lmax:] = (
+                batch.lengths.astype("<i4").view(np.uint8).reshape(n, 4)
+            )
         fn, verify_cap = self._fn_for(B, Lmax)
         if self._device_args is not None:
             out = fn(*self._device_args, jnp.asarray(packed))
@@ -426,9 +429,7 @@ class MappingEngine:
             dp[:n].sum() + dp[B : B + n].sum()
         )
         blob = self._native.emit(
-            batch.names,
-            batch.seqs,
-            batch.quals,
+            batch,
             map_counts,
             (a_lane[order] >= B).astype(np.uint8),
             a_ed[order].astype(np.uint8),

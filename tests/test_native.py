@@ -49,3 +49,55 @@ def test_native_emitter_handles_indels_and_secondary(small_reference, small_inde
     gr, _ = golden.map_reads(batch.names, batch.seqs, batch.quals)
     assert b"".join(rn) == b"".join(gr)
     assert b"\t272\t" in b"".join(rn) or b"\t256\t" in b"".join(rn)
+
+
+def test_native_fastq_reader_matches_python(tmp_path):
+    import gzip
+
+    import numpy as np
+
+    from fem_tpu.io.fastx import stream_fastq_batches
+
+    seqs = sim.random_genome(60_000, num_seqs=1, seed=61)
+    reads = sim.simulate_reads(seqs, 2500, read_length=100, max_errors=2, seed=62)
+    p = tmp_path / "r.fq"
+    sim.write_fastq(str(p), reads)
+    pg = tmp_path / "r.fq.gz"
+    pg.write_bytes(gzip.compress(p.read_bytes()))
+    for path in (p, pg):
+        bn = list(stream_fastq_batches(str(path), batch_size=1000, use_native=True))
+        bp = list(stream_fastq_batches(str(path), batch_size=1000, use_native=False))
+        assert [b.num_reads for b in bn] == [b.num_reads for b in bp] == [1000, 1000, 500]
+        for a, b in zip(bn, bp):
+            assert a.packed is not None and a.has_blobs
+            assert a.names == b.names and a.seqs == b.seqs and a.quals == b.quals
+            np.testing.assert_array_equal(a.lengths, b.lengths)
+            np.testing.assert_array_equal(a.codes, b.codes[:, : a.codes.shape[1]])
+
+
+def test_engine_with_native_reader_batches(small_reference, small_index, default_args, tmp_path):
+    from fem_tpu.golden.model import MappingStats
+    from fem_tpu.io.fastx import stream_fastq_batches
+
+    seqs, ref = small_reference
+    reads = sim.simulate_reads(seqs, 100, read_length=100, max_errors=2, seed=63)
+    p = tmp_path / "reads.fq"
+    sim.write_fastq(str(p), reads)
+    golden = GoldenMapper(default_args, ref, small_index)
+    eng = MappingEngine(
+        default_args, ref, small_index,
+        EngineConfig(batch_size=50, cap_occ=256, cap_cand=128, verify_per_read=32),
+    )
+    chunks = []
+    total = MappingStats()
+    for recs, st in eng.map_stream(
+        stream_fastq_batches(str(p), batch_size=50, use_native=True)
+    ):
+        chunks.extend(recs)
+        total += st
+    grecs, gstats = golden.map_reads(
+        [r.name for r in reads], [r.seq for r in reads], [r.qual for r in reads]
+    )
+    assert b"".join(chunks) == b"".join(grecs)
+    assert total.num_mappings == gstats.num_mappings
+    assert total.num_reads == 100
