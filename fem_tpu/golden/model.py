@@ -20,7 +20,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from fem_tpu.config import FemArgs
-from fem_tpu.core.encoding import CHAR_TO_CODE, encode
+from fem_tpu.core.encoding import CHAR_TO_CODE
 from fem_tpu.index.storage import FemIndex
 from fem_tpu.io.fastx import Reference
 from fem_tpu.io.sam import FLAG_REVERSE, format_record

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from fem_tpu.config import FemArgs  # noqa: F401  (re-export convenience)
 from fem_tpu.index.storage import FemIndex
 from fem_tpu.io.fastx import Reference
 

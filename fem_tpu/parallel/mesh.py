@@ -16,7 +16,6 @@ along the same lanes; see fem_tpu/parallel/sharded_index.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax

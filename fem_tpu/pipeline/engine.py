@@ -12,7 +12,6 @@ the ALL-mappings guarantee survives fixed shapes.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 from typing import Dict, List, Tuple
 
@@ -218,6 +217,7 @@ class MappingEngine:
         self._native = None
         if use_native is None:
             use_native = os.environ.get("FEM_TPU_NO_NATIVE", "") != "1"
+        self._cpu_mapper = None
         if use_native:
             try:
                 from fem_tpu.native import NativeEmitter, native_available
@@ -226,6 +226,13 @@ class MappingEngine:
                     self._native = NativeEmitter(reference, args.error_threshold)
             except Exception:
                 self._native = None
+            try:
+                from fem_tpu.native.mapper import NativeCpuMapper, mapper_available
+
+                if mapper_available():
+                    self._cpu_mapper = NativeCpuMapper(args, reference, index)
+            except Exception:
+                self._cpu_mapper = None
 
     def _init_sharded_index(self, index: FemIndex) -> None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -325,6 +332,22 @@ class MappingEngine:
             out = fn(self.dindex, jnp.asarray(packed))
         return batch, out
 
+    def _map_read_fallback(self, name, seq, qual) -> Tuple[List[bytes], MappingStats]:
+        """Exact host mapping of one read: in-process C++ mapper when
+        available, golden scalar oracle otherwise."""
+        self.fallback_reads += 1
+        if self._cpu_mapper is not None:
+            blob, st = self._cpu_mapper.map_reads([name], [seq], [qual])
+            stats = MappingStats(
+                num_reads=int(st[0]),
+                num_mapped_reads=int(st[1]),
+                num_candidates_without_additional_qgram_filter=int(st[2]),
+                num_candidates=int(st[3]),
+                num_mappings=int(st[4]),
+            )
+            return ([blob] if blob else []), stats
+        return self.golden.map_read(name, seq, qual)
+
     def drain_batch(self, pending) -> Tuple[List[bytes], MappingStats]:
         batch, flat = pending
         B = self.config.batch_size
@@ -341,11 +364,9 @@ class MappingEngine:
         if out["slab_overflow"].any():
             if batch.num_reads == 1:
                 # One read exceeding the whole slab: host path handles it.
-                self.fallback_reads += 1
-                recs, stats = self.golden.map_read(
+                return self._map_read_fallback(
                     batch.names[0], batch.seqs[0], batch.quals[0]
                 )
-                return recs, stats
             # Verify slab overflow: split and recurse (exact, just slower).
             return self._map_batch_split(batch)
 
@@ -472,8 +493,7 @@ class MappingEngine:
         fallback = out["needs_fallback"]
         for r in range(n):
             if fallback[r] or fallback[r + B]:
-                self.fallback_reads += 1
-                recs, rstats = self.golden.map_read(
+                recs, rstats = self._map_read_fallback(
                     batch.names[r], batch.seqs[r], batch.quals[r]
                 )
                 rstats.num_reads = 0  # already counted

@@ -101,3 +101,48 @@ def test_engine_with_native_reader_batches(small_reference, small_index, default
     assert b"".join(chunks) == b"".join(grecs)
     assert total.num_mappings == gstats.num_mappings
     assert total.num_reads == 100
+
+
+def test_native_cpu_mapper_matches_golden(small_reference, small_index, default_args):
+    from fem_tpu.io.sam import sam_header_text
+    from fem_tpu.native.mapper import NativeCpuMapper, mapper_available
+
+    if not mapper_available():
+        pytest.skip("native mapper unavailable")
+    seqs, ref = small_reference
+    golden = GoldenMapper(default_args, ref, small_index)
+    mapper = NativeCpuMapper(default_args, ref, small_index)
+    reads = sim.simulate_reads(seqs, 60, read_length=100, max_errors=2, seed=81)
+    names = [r.name for r in reads]
+    sqs = [r.seq for r in reads]
+    quals = [r.qual for r in reads]
+    blob, st = mapper.map_reads(names, sqs, quals)
+    grecs, gstats = golden.map_reads(names, sqs, quals)
+    assert blob == b"".join(grecs)
+    assert st.tolist() == [
+        gstats.num_reads, gstats.num_mapped_reads,
+        gstats.num_candidates_without_additional_qgram_filter,
+        gstats.num_candidates, gstats.num_mappings,
+    ]
+
+
+def test_engine_overflow_fallback_uses_cpu_mapper(small_reference, small_index, default_args):
+    """Tiny caps force occurrence-slab overflows; results must still be
+    byte-identical to golden via the C++ fallback."""
+    seqs, ref = small_reference
+    golden = GoldenMapper(default_args, ref, small_index)
+    eng = MappingEngine(
+        default_args, ref, small_index,
+        EngineConfig(batch_size=32, cap_occ=16, cap_cand=16, verify_per_read=8,
+                     accept_per_read=8),
+    )
+    reads = sim.simulate_reads(seqs, 32, read_length=100, max_errors=2, seed=82)
+    # Guarantee at least one repeat read (many occurrences -> overflow).
+    rep = seqs[0][1][10_050:10_150]
+    reads[0] = sim.SimulatedRead(b"rep", rep, b"I" * 100, 0, 10_050, 0, 0)
+    batch = _batch_from_reads(reads)
+    recs, stats = eng.map_batch(batch)
+    grecs, gstats = golden.map_reads(batch.names, batch.seqs, batch.quals)
+    assert b"".join(recs) == b"".join(grecs)
+    assert stats.num_mappings == gstats.num_mappings
+    assert stats.num_candidates == gstats.num_candidates
