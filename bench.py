@@ -36,8 +36,8 @@ def main() -> None:
     batch_size = int(os.environ.get("FEM_BENCH_BATCH", "2048"))
     e = int(os.environ.get("FEM_BENCH_E", "5"))
     repeat_fraction = float(os.environ.get("FEM_BENCH_REPEATS", "0.3"))
-    cap_occ = int(os.environ.get("FEM_BENCH_CAP_OCC", "128"))
-    cap_cand = int(os.environ.get("FEM_BENCH_CAP_CAND", "128"))
+    cap_occ = int(os.environ.get("FEM_BENCH_CAP_OCC", "64"))
+    cap_cand = int(os.environ.get("FEM_BENCH_CAP_CAND", "64"))
     golden_sample = int(os.environ.get("FEM_BENCH_GOLDEN_SAMPLE", "300"))
 
     from fem_tpu import sim
