@@ -261,20 +261,41 @@ def generate_candidates(
         )
         m_valid = m_valid.astype(bool)
 
+        # Greedy dedup is the one truly sequential piece; amortize the
+        # scan's per-step overhead by consuming 8 elements per step.
+        M = m_sid.shape[1]
+        CH = 8
+        pad = (-M) % CH
+        if pad:
+            m_sid_p = jnp.pad(m_sid, ((0, 0), (0, pad)), constant_values=SENTINEL_SID)
+            m_pos_p = jnp.pad(m_pos, ((0, 0), (0, pad)), constant_values=_BIG)
+            m_valid_p = jnp.pad(m_valid, ((0, 0), (0, pad)))
+        else:
+            m_sid_p, m_pos_p, m_valid_p = m_sid, m_pos, m_valid
+        Mp = M + pad
+
         def dedup_step(carry, x):
             last_sid, last_pos = carry
-            s_, p_, v_ = x
-            cond = (s_ > last_sid) | ((s_ == last_sid) & (p_ > last_pos + e))
-            keep = v_ & cond
-            last_sid = jnp.where(keep, s_, last_sid)
-            last_pos = jnp.where(keep, p_, last_pos)
-            return (last_sid, last_pos), keep
+            s_c, p_c, v_c = x  # each (CH, NB)
+            keeps = []
+            for i in range(CH):
+                cond = (s_c[i] > last_sid) | (
+                    (s_c[i] == last_sid) & (p_c[i] > last_pos + e)
+                )
+                keep = v_c[i] & cond
+                last_sid = jnp.where(keep, s_c[i], last_sid)
+                last_pos = jnp.where(keep, p_c[i], last_pos)
+                keeps.append(keep)
+            return (last_sid, last_pos), jnp.stack(keeps)
 
-        M = m_sid.shape[1]
-        xs = (m_sid.T, m_pos.T, m_valid.T)
+        xs = (
+            m_sid_p.T.reshape(Mp // CH, CH, NB),
+            m_pos_p.T.reshape(Mp // CH, CH, NB),
+            m_valid_p.T.reshape(Mp // CH, CH, NB),
+        )
         init = (jnp.full((NB,), -1, jnp.int32), jnp.zeros((NB,), jnp.int32))
-        _, keep_T = jax.lax.scan(dedup_step, init, xs)
-        keep = keep_T.T  # (NB, M)
+        _, keep_c = jax.lax.scan(dedup_step, init, xs)
+        keep = keep_c.reshape(Mp, NB).T[:, :M]  # (NB, M)
         n_keep = keep.sum(axis=1)
         overflow_cand |= n_keep > CC
         k_sid = jnp.where(keep, m_sid, SENTINEL_SID)

@@ -54,28 +54,28 @@ def select_qgrams(
     ]  # (NC-1, R-1) static
     xs = freqs_t[jnp.asarray(pos_of, dtype=jnp.int32)]  # (NC-1, R-1, NL)
 
-    def column_step(m_prev, f_col):
-        # m_prev: (NL, R) = DP column col-1; f_col: (R-1, NL).
+    # Fully unrolled column sweep (NC <= ~40 static columns): the loop
+    # body is a handful of (NL,) vector ops per row, so unrolling lets XLA
+    # fuse across columns instead of paying per-iteration loop overhead.
+    m_prev = [jnp.zeros((NL,), jnp.uint32)] + [
+        jnp.broadcast_to(sentinel, (NL,)) for _ in range(R - 1)
+    ]
+    vert_list = []
+    m_last_list = []
+    for col in range(1, NC):
         rows = [jnp.zeros((NL,), jnp.uint32)]
         decisions = [jnp.zeros((NL,), jnp.bool_)]  # row 0: never vertical
         for row in range(1, R):
-            with_new = rows[row - 1] + f_col[row - 1]  # uint32 wrap
-            horiz = m_prev[:, row]
+            with_new = rows[row - 1] + xs[col - 1, row - 1]  # uint32 wrap
+            horiz = m_prev[row]
             take_vertical = with_new < horiz
             rows.append(jnp.where(take_vertical, with_new, horiz))
             decisions.append(take_vertical)
-        m_new = jnp.stack(rows, axis=1)
-        return m_new, (jnp.stack(decisions, axis=1), m_new[:, R - 1])
-
-    m0 = jnp.concatenate(
-        [
-            jnp.zeros((NL, 1), jnp.uint32),
-            jnp.broadcast_to(sentinel, (NL, R - 1)),
-        ],
-        axis=1,
-    )
-    _, (vert_cols, m_last) = jax.lax.scan(column_step, m0, xs)
-    # vert_cols: (NC-1, NL, R) bool "took vertical"; m_last: (NC-1, NL).
+        m_prev = rows
+        vert_list.append(jnp.stack(decisions, axis=1))
+        m_last_list.append(rows[R - 1])
+    vert_cols = jnp.stack(vert_list, axis=0)  # (NC-1, NL, R)
+    m_last = jnp.stack(m_last_list, axis=0)  # (NC-1, NL)
 
     # Per-lane true column count and result column.
     nc_lane = group_sizes - S * sl + 2  # (NL,)
