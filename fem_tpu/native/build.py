@@ -43,7 +43,7 @@ def build_native(force: bool = False) -> str:
             if f.endswith(".h")
         ]
         if force or _stale(_LIB_PATH, srcs + hdrs):
-            cmd = ["g++", *_CXXFLAGS, "-shared", "-fPIC", "-o", _LIB_PATH, *srcs, "-lz"]
+            cmd = ["g++", *_CXXFLAGS, "-pthread", "-shared", "-fPIC", "-o", _LIB_PATH, *srcs, "-lz"]
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         return _LIB_PATH
 

@@ -13,6 +13,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "align_core.h"
@@ -55,89 +56,129 @@ int fem_emit_batch(
     int32_t error_threshold,
     uint8_t** out_buf, int64_t* out_len) {
   (void)ref_lens;
-  std::string out;
-  out.reserve(1 << 20);
-  std::vector<MappingRec> recs;
-  std::vector<uint8_t> neg;
-  std::vector<std::pair<char, int>> cigar;
-  std::string md;
-  int64_t mi0 = 0;
   const int e = error_threshold;
   const Tables& tbl = tables();
-  for (int32_t r = 0; r < num_reads; ++r) {
-    int32_t cnt = map_counts[r];
-    if (cnt == 0) continue;
-    const uint8_t* seq = seqs_blob + seq_offsets[r];
-    const uint8_t* qual = quals_blob + seq_offsets[r];
-    const int L = (int)(seq_offsets[r + 1] - seq_offsets[r]);
-    recs.clear();
-    for (int32_t i = 0; i < cnt; ++i) {
-      MappingRec m;
-      m.direction = m_dir[mi0 + i];
-      m.edit_distance = m_ed[mi0 + i];
-      m.sid = m_sid[mi0 + i];
-      m.band_pos = (uint64_t)m_pos[mi0 + i];
-      m.end_offset = m_end[mi0 + i];
-      uint64_t cand = ((uint64_t)m.sid << 32) | m.band_pos;
-      m.key = ((uint64_t)m.edit_distance << 60) |
-              ((uint64_t)m.direction << 59) |
-              ((cand + (uint64_t)m.end_offset) & ((1ull << 59) - 1));
-      recs.push_back(m);
-    }
-    mi0 += cnt;
-    std::stable_sort(recs.begin(), recs.end(),
-                     [](const MappingRec& a, const MappingRec& b) {
-                       return a.key < b.key;
-                     });
-    // Negative-strand chars (src/sequence_batch.h:90-98).
-    neg.resize(L);
-    for (int i = 0; i < L; ++i)
-      neg[i] = (uint8_t)Tables::kCodeToChar[(3 ^ c2c(seq[L - 1 - i])) & 7];
 
-    for (size_t k = 0; k < recs.size(); ++k) {
-      const MappingRec& m = recs[k];
-      const uint8_t* pattern = ref_blob + ref_offsets[m.sid] + m.band_pos;
-      const uint8_t* text = m.direction ? neg.data() : seq;
-      int start = generate_alignment(pattern, text, L, m.edit_distance,
-                                     m.end_offset, e, cigar, md);
-      int64_t pos0 = (int64_t)m.band_pos + start;
-      int flag = (m.direction ? 16 : 0) | (k > 0 ? 256 : 0);
-      // QNAME FLAG RNAME POS MAPQ CIGAR RNEXT PNEXT TLEN SEQ QUAL NM MD
-      out.append((const char*)(names_blob + name_offsets[r]),
-                 name_offsets[r + 1] - name_offsets[r]);
-      out.push_back('\t');
-      append_int(out, flag);
-      out.push_back('\t');
-      out.append((const char*)(ref_names_blob + ref_name_offsets[m.sid]),
-                 ref_name_offsets[m.sid + 1] - ref_name_offsets[m.sid]);
-      out.push_back('\t');
-      append_int(out, pos0 + 1);
-      out.append("\t255\t");
-      for (auto& [op, n] : cigar) {
-        append_int(out, n);
-        out.push_back(op);
+  // Per-read mapping-index prefix so read ranges can emit independently.
+  std::vector<int64_t> mprefix(num_reads + 1, 0);
+  for (int32_t r = 0; r < num_reads; ++r)
+    mprefix[r + 1] = mprefix[r] + map_counts[r];
+
+  auto emit_range = [&](int32_t r_lo, int32_t r_hi, std::string& out) {
+    out.reserve(64 + (size_t)(r_hi - r_lo) * 192);
+    std::vector<MappingRec> recs;
+    std::vector<uint8_t> neg;
+    std::vector<std::pair<char, int>> cigar;
+    std::string md;
+    for (int32_t r = r_lo; r < r_hi; ++r) {
+      int32_t cnt = map_counts[r];
+      if (cnt == 0) continue;
+      const int64_t mi0 = mprefix[r];
+      const uint8_t* seq = seqs_blob + seq_offsets[r];
+      const uint8_t* qual = quals_blob + seq_offsets[r];
+      const int L = (int)(seq_offsets[r + 1] - seq_offsets[r]);
+      recs.clear();
+      for (int32_t i = 0; i < cnt; ++i) {
+        MappingRec m;
+        m.direction = m_dir[mi0 + i];
+        m.edit_distance = m_ed[mi0 + i];
+        m.sid = m_sid[mi0 + i];
+        m.band_pos = (uint64_t)m_pos[mi0 + i];
+        m.end_offset = m_end[mi0 + i];
+        uint64_t cand = ((uint64_t)m.sid << 32) | m.band_pos;
+        m.key = ((uint64_t)m.edit_distance << 60) |
+                ((uint64_t)m.direction << 59) |
+                ((cand + (uint64_t)m.end_offset) & ((1ull << 59) - 1));
+        recs.push_back(m);
       }
-      out.append("\t*\t0\t0\t");
-      if (k == 0) {
-        // SEQ: nt16 round trip of the *forward* read (src/align.c:79,619-621).
-        for (int i = 0; i < L; ++i)
-          out.push_back(Tables::kNt16Chars[tbl.nt16[seq[i]]]);
+      std::stable_sort(recs.begin(), recs.end(),
+                       [](const MappingRec& a, const MappingRec& b) {
+                         return a.key < b.key;
+                       });
+      // Negative-strand chars (src/sequence_batch.h:90-98).
+      neg.resize(L);
+      for (int i = 0; i < L; ++i)
+        neg[i] = (uint8_t)Tables::kCodeToChar[(3 ^ c2c(seq[L - 1 - i])) & 7];
+
+      for (size_t k = 0; k < recs.size(); ++k) {
+        const MappingRec& m = recs[k];
+        const uint8_t* pattern = ref_blob + ref_offsets[m.sid] + m.band_pos;
+        const uint8_t* text = m.direction ? neg.data() : seq;
+        int start = generate_alignment(pattern, text, L, m.edit_distance,
+                                       m.end_offset, e, cigar, md);
+        int64_t pos0 = (int64_t)m.band_pos + start;
+        int flag = (m.direction ? 16 : 0) | (k > 0 ? 256 : 0);
+        // QNAME FLAG RNAME POS MAPQ CIGAR RNEXT PNEXT TLEN SEQ QUAL NM MD
+        out.append((const char*)(names_blob + name_offsets[r]),
+                   name_offsets[r + 1] - name_offsets[r]);
         out.push_back('\t');
-        out.append((const char*)qual, L);
-      } else {
-        out.append("*\t*");  // secondary: l_qseq = 0 (src/align.c:85)
+        append_int(out, flag);
+        out.push_back('\t');
+        out.append((const char*)(ref_names_blob + ref_name_offsets[m.sid]),
+                   ref_name_offsets[m.sid + 1] - ref_name_offsets[m.sid]);
+        out.push_back('\t');
+        append_int(out, pos0 + 1);
+        out.append("\t255\t");
+        for (auto& [op, n] : cigar) {
+          append_int(out, n);
+          out.push_back(op);
+        }
+        out.append("\t*\t0\t0\t");
+        if (k == 0) {
+          // SEQ: nt16 round trip of the *forward* read (src/align.c:79,619-621).
+          for (int i = 0; i < L; ++i)
+            out.push_back(Tables::kNt16Chars[tbl.nt16[seq[i]]]);
+          out.push_back('\t');
+          out.append((const char*)qual, L);
+        } else {
+          out.append("*\t*");  // secondary: l_qseq = 0 (src/align.c:85)
+        }
+        out.append("\tNM:i:");
+        append_int(out, m.edit_distance);
+        out.append("\tMD:Z:");
+        out.append(md);
+        out.push_back('\n');
       }
-      out.append("\tNM:i:");
-      append_int(out, m.edit_distance);
-      out.append("\tMD:Z:");
-      out.append(md);
-      out.push_back('\n');
     }
+  };
+
+  // Thread over contiguous read ranges (per-thread buffers concatenated in
+  // order, so output is byte-identical to the serial emission — the
+  // reference's writer thread kept no cross-read state either,
+  // src/output_queue.c:60-91).
+  int nthreads = 1;
+  if (const char* envt = getenv("FEM_TPU_EMIT_THREADS")) {
+    nthreads = atoi(envt);
+  } else {
+    unsigned hw = std::thread::hardware_concurrency();
+    nthreads = hw > 1 ? (int)(hw > 16 ? 8 : hw / 2) : 1;
   }
-  *out_len = (int64_t)out.size();
-  *out_buf = (uint8_t*)malloc(out.size() ? out.size() : 1);
+  if (nthreads < 1) nthreads = 1;
+  if (num_reads < 1024 || mprefix[num_reads] < 1024) nthreads = 1;
+
+  std::vector<std::string> parts(nthreads);
+  if (nthreads == 1) {
+    emit_range(0, num_reads, parts[0]);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nthreads; ++t) {
+      int32_t lo = (int32_t)((int64_t)num_reads * t / nthreads);
+      int32_t hi = (int32_t)((int64_t)num_reads * (t + 1) / nthreads);
+      threads.emplace_back([&, lo, hi, t] { emit_range(lo, hi, parts[t]); });
+    }
+    for (auto& th : threads) th.join();
+  }
+
+  int64_t total = 0;
+  for (auto& p : parts) total += (int64_t)p.size();
+  *out_len = total;
+  *out_buf = (uint8_t*)malloc(total ? total : 1);
   if (!*out_buf) return 1;
-  memcpy(*out_buf, out.data(), out.size());
+  uint8_t* w = *out_buf;
+  for (auto& p : parts) {
+    memcpy(w, p.data(), p.size());
+    w += p.size();
+  }
   return 0;
 }
 

@@ -32,11 +32,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fem_tpu.ops.seed_select import select_qgrams
+from fem_tpu.ops.sortnet import bitonic_sort_2key
 from fem_tpu.ops.types import DeviceIndex, FilterParams, SENTINEL_SID
 
-_BIG = jnp.int32(2**30)
+# np scalar, not jnp: a module-level jnp constant would initialize the
+# XLA backend at import time, breaking jax.distributed bring-up.
+_BIG = np.int32(2**30)
 
 
 class CandidateResult(NamedTuple):
@@ -58,6 +62,18 @@ def _group_seed_geometry(params: FilterParams):
     return si[:, None] + p[None, :] * params.step_size  # (G, NG)
 
 
+def _probe(*arrays) -> jnp.ndarray:
+    """Tiny live-value checksum used by the stage profiler (tools/
+    profile_stages.py): forces XLA to materialize everything computed so
+    far while keeping the D2H payload one scalar."""
+    acc = jnp.uint32(0)
+    for a in arrays:
+        if a.dtype == jnp.bool_:
+            a = a.astype(jnp.uint32)
+        acc += jnp.sum(a.astype(jnp.uint32) if a.dtype != jnp.uint32 else a)
+    return acc
+
+
 def generate_candidates(
     codes: jnp.ndarray,  # (NB, Lmax) uint8 — reads with strand applied
     lengths: jnp.ndarray,  # (NB,) int32
@@ -66,6 +82,7 @@ def generate_candidates(
     index: DeviceIndex,
     params: FilterParams,
     index_axis: str | None = None,
+    _stop_after: str | None = None,
 ) -> CandidateResult:
     """With `index_axis` set, the occurrence table is coordinate-sharded
     over that mesh axis (whole chromosomes per shard): `index.freq_table`
@@ -106,6 +123,8 @@ def generate_candidates(
     freqs = jnp.take(index.freq_table, group_hashes, mode="clip").astype(
         jnp.uint32
     )
+    if _stop_after == "freqs":
+        return _probe(freqs, group_sizes, mappable)
 
     # ---- DP selection per (lane, group) ------------------------------------
     NL = NB * G
@@ -121,6 +140,8 @@ def generate_candidates(
     ).sum(axis=1, dtype=jnp.uint32)
     complete = sel.complete.reshape(NB, G)
     degenerate = sel.degenerate.reshape(NB, G)
+    if _stop_after == "dp":
+        return _probe(sel_p, dp_total, complete, degenerate)
 
     # ---- selected-seed attributes, stable-sorted by frequency --------------
     sel_pc = jnp.clip(sel_p, 0, NG - 1)
@@ -149,6 +170,8 @@ def generate_candidates(
     sfreq_s, _, start_s, off_s, lfreq_s = jax.lax.sort(
         (sfreq, order, start, sstart_off, lfreq), dimension=2, num_keys=2
     )
+    if _stop_after == "selattr":
+        return _probe(sfreq_s, start_s, off_s, lfreq_s)
 
     # ---- occurrence gather into CAP slots (8-slot chunk aligned) -----------
     # Each selected seed's slot span rounds up to 8 so every 8-slot chunk
@@ -198,6 +221,8 @@ def generate_candidates(
         words = jnp.where((w & bit)[..., None] != 0, shifted, words)
     sid = words[..., 0:16:2].astype(jnp.int32).reshape(NB, G, CAP)
     pos = words[..., 1:16:2].astype(jnp.int32).reshape(NB, G, CAP)
+    if _stop_after == "occgather":
+        return _probe(sid, pos, overflow_occ)
 
     lane_ok = mappable[:, None] & complete  # (NB, G)
     fc_j = of_seed(fc)
@@ -226,14 +251,23 @@ def generate_candidates(
         tpos = jax.lax.pmax(tpos, index_axis)
     keep_last = (sid < tsid) | ((sid == tsid) & (diag <= tpos))
     slot_valid &= jnp.where(is_last, keep_last, True)
+    if _stop_after == "trunc":
+        return _probe(slot_valid, diag)
+    if _stop_after == "truncmat":  # materialized variant (profiling only)
+        return (slot_valid, diag, sid)
 
     # ---- sort group slab, vote ---------------------------------------------
     sid_s = jnp.where(slot_valid, sid, SENTINEL_SID)
     diag_s = jnp.where(slot_valid, diag, _BIG)
-    sid_s, diag_s, valid_s = jax.lax.sort(
-        (sid_s, diag_s, slot_valid.astype(jnp.int32)), dimension=2, num_keys=2
-    )
-    valid_s = valid_s.astype(bool)
+    if _stop_after == "presort":
+        return _probe(sid_s, diag_s, slot_valid)
+    if _stop_after == "sortvote_b":  # profiling: barrier before the sort
+        sid_s, diag_s = jax.lax.optimization_barrier((sid_s, diag_s))
+    # Bitonic network instead of lax.sort: inside this fused program the
+    # XLA sort lowers catastrophically (see ops/sortnet.py). Validity is
+    # recoverable from the sid sentinel, so only the two keys travel.
+    sid_s, diag_s = bitonic_sort_2key(sid_s, diag_s)
+    valid_s = sid_s != SENTINEL_SID
     if a > 0:
         pad_sid = jnp.concatenate(
             [sid_s[..., a:], jnp.full((NB, G, a), SENTINEL_SID, jnp.int32)], axis=2
@@ -243,6 +277,8 @@ def generate_candidates(
         )
         vote = (pad_sid == sid_s) & (pad_diag <= diag_s + e)
         valid_s &= vote
+    if _stop_after in ("sortvote", "sortvote_b"):
+        return _probe(sid_s, diag_s, valid_s)
 
     # ---- fold groups through the greedy dedup ------------------------------
     cand_sid = jnp.full((NB, CC), SENTINEL_SID, jnp.int32)
@@ -256,10 +292,8 @@ def generate_candidates(
         m_valid = jnp.concatenate([cand_valid, valid_s[:, g]], axis=1)
         m_sid = jnp.where(m_valid, m_sid, SENTINEL_SID)
         m_pos = jnp.where(m_valid, m_pos, _BIG)
-        m_sid, m_pos, m_valid = jax.lax.sort(
-            (m_sid, m_pos, m_valid.astype(jnp.int32)), dimension=1, num_keys=2
-        )
-        m_valid = m_valid.astype(bool)
+        m_sid, m_pos = bitonic_sort_2key(m_sid, m_pos)
+        m_valid = m_sid != SENTINEL_SID
 
         # Greedy dedup is the one truly sequential piece; amortize the
         # scan's per-step overhead by consuming 8 elements per step.
@@ -300,12 +334,12 @@ def generate_candidates(
         overflow_cand |= n_keep > CC
         k_sid = jnp.where(keep, m_sid, SENTINEL_SID)
         k_pos = jnp.where(keep, m_pos, _BIG)
-        k_sid, k_pos, k_keep = jax.lax.sort(
-            (k_sid, k_pos, keep.astype(jnp.int32)), dimension=1, num_keys=2
-        )
+        k_sid, k_pos = bitonic_sort_2key(k_sid, k_pos)
         cand_sid = k_sid[:, :CC]
         cand_pos = k_pos[:, :CC]
-        cand_valid = k_keep[:, :CC].astype(bool)
+        cand_valid = cand_sid != SENTINEL_SID
+    if _stop_after == "dedup":
+        return _probe(cand_sid, cand_pos, cand_valid)
 
     # ---- range filter + band-start shift (src/filter.c:133-144) ------------
     ref_len = jnp.take(

@@ -168,9 +168,11 @@ def make_index_sharded_map_fn(
     verify_cap_per_shard: int,
     accept_cap_per_shard: int,
     use_pallas: bool,
+    nonce: int = 0,
 ):
     """shard_map over a ('data', 'index') mesh: reads sharded on `data`,
-    index pieces sharded on `index`, full mapping step per device."""
+    index pieces sharded on `index`, full mapping step per device.
+    `salt`/`nonce` re-key the compile cache (MappingEngine._compile_with_reroll)."""
     from fem_tpu.pipeline.engine import map_core, pack_outputs
 
     n_dp = mesh.shape[DATA_AXIS]
@@ -178,8 +180,13 @@ def make_index_sharded_map_fn(
 
     def shard_fn(
         lookup, freq_table, occ_rows, ref_flat, ref_rows, ref_offsets,
-        ref_lengths, num_occurrences, packed_in,
+        ref_lengths, num_occurrences, packed_in, salt,
     ):
+        packed_in = jnp.roll(
+            packed_in,
+            (salt & jnp.uint32(1 + nonce)).astype(jnp.int32),
+            axis=0,
+        )
         codes = packed_in[:, :-4]
         lb = packed_in[:, -4:].astype(jnp.int32)
         lengths = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
@@ -226,6 +233,7 @@ def make_index_sharded_map_fn(
             P(),  # ref_lengths
             P(),  # num_occurrences
             P(DATA_AXIS),  # packed reads
+            P(),  # salt
         ),
         out_specs=P((DATA_AXIS, INDEX_AXIS)),
         check_vma=False,

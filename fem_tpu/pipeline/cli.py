@@ -94,6 +94,14 @@ def map_main(argv: list[str]) -> int:
                    help="progress file enabling resume after interruption")
     p.add_argument("--verbose-batches", action="store_true",
                    help="log per-batch mapping time (reference map.c:57)")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="multi-host run: total number of host processes")
+    p.add_argument("--host-id", type=int, default=0,
+                   help="multi-host run: this process's id in [0, num-hosts)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host run: jax.distributed coordinator host:port")
+    p.add_argument("--local-devices", type=int, default=None,
+                   help="multi-host run: devices owned by this process")
     args = p.parse_args(argv)
 
     # Constraint surface of check_args (src/FEM_map.c:29-55).
@@ -119,6 +127,16 @@ def map_main(argv: list[str]) -> int:
     from fem_tpu.io.sam import SamWriter
 
     _enable_compile_cache()
+
+    # Multi-host bring-up must precede any JAX backend use. Each host maps
+    # a disjoint interleaved batch subset, writes its own SAM shard, and
+    # the counters allreduce at the end (fem_tpu/parallel/multihost.py).
+    from fem_tpu.parallel import multihost
+
+    ctx = multihost.initialize(
+        args.coordinator, args.num_hosts, args.host_id, args.local_devices
+    )
+
     reference = read_fasta(args.ref)
     index = load_index(args.index)
     fem_args = FemArgs(
@@ -135,25 +153,27 @@ def map_main(argv: list[str]) -> int:
     # only checkpoint is the index itself — mapping is a stateless stream,
     # so resume = skip already-processed reads).
     skip_reads = 0
-    if args.checkpoint and os.path.exists(args.checkpoint):
-        with open(args.checkpoint) as f:
+    ckpt_path = multihost.shard_path(args.checkpoint, ctx) if args.checkpoint else None
+    if ckpt_path and os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
             skip_reads = int(f.read().strip() or 0)
         print(f"Resuming after {skip_reads} reads.", file=sys.stderr)
 
     def batches():
         skipped = 0
-        for batch in stream_fastq_batches(args.read1, batch_size=args.batch_size):
+        stream = stream_fastq_batches(args.read1, batch_size=args.batch_size)
+        for batch in multihost.shard_batches(stream, ctx):
             if skipped + batch.num_reads <= skip_reads:
                 skipped += batch.num_reads
                 continue
             yield batch
 
-    mode = "ab" if skip_reads else "wb"
+    out_path = multihost.shard_path(args.output, ctx)
     if skip_reads:
-        writer_file = open(args.output, "ab")
+        writer_file = open(out_path, "ab")
         writer = None
     else:
-        writer = SamWriter(args.output, reference.names, reference.lengths.tolist())
+        writer = SamWriter(out_path, reference.names, reference.lengths.tolist())
         writer_file = None
 
     def write_chunks(recs):
@@ -190,8 +210,17 @@ def map_main(argv: list[str]) -> int:
             from fem_tpu.pipeline.engine import EngineConfig, MappingEngine
             from fem_tpu.pipeline.prefetch import ThreadedBatchSource
 
+            # Host-local data-parallel mesh when this process owns several
+            # devices (reads shard across them; index replicated).
+            import jax
+
+            mesh = None
+            n_local = len(jax.local_devices())
+            if n_local > 1 and args.batch_size % n_local == 0:
+                mesh = multihost.local_data_mesh()
             engine = MappingEngine(
-                fem_args, reference, index, EngineConfig(batch_size=args.batch_size)
+                fem_args, reference, index,
+                EngineConfig(batch_size=args.batch_size, mesh=mesh),
             )
             source = ThreadedBatchSource(batches())
             bt = Timer()
@@ -203,10 +232,10 @@ def map_main(argv: list[str]) -> int:
                 metrics.batch(stats.num_reads, len(recs), 0.0, dt)
                 if args.verbose_batches:
                     print(f"Mapped read batch in {dt:f}s.", file=sys.stderr)
-                if args.checkpoint:
-                    with open(args.checkpoint + ".tmp", "w") as f:
+                if ckpt_path:
+                    with open(ckpt_path + ".tmp", "w") as f:
                         f.write(str(processed))
-                    os.replace(args.checkpoint + ".tmp", args.checkpoint)
+                    os.replace(ckpt_path + ".tmp", ckpt_path)
     finally:
         if profiling:
             import jax
@@ -217,8 +246,15 @@ def map_main(argv: list[str]) -> int:
     else:
         writer_file.close()
     metrics.wall_total_s = time.time() - t0
+
+    # Cross-host counter rollup (the reference's per-thread stats merge at
+    # join, src/FEM_map.c:200-212, as one allgather over all hosts).
+    total = multihost.allreduce_stats(total, ctx)
     if args.stats_json:
-        metrics.dump_json(args.stats_json, total)
+        metrics.dump_json(multihost.shard_path(args.stats_json, ctx), total)
+    if ctx.host_id != 0:
+        print(f"[host {ctx.host_id}] wrote {out_path}", file=sys.stderr)
+        return 0
 
     # The five oracle counters (src/FEM_map.c:214-219).
     print(f"The number of read: {total.num_reads}", file=sys.stderr)
