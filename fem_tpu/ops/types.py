@@ -30,7 +30,6 @@ class DeviceIndex(NamedTuple):
     lookup: jnp.ndarray  # (4^k + 1,) int32 CSR offsets
     freq_table: jnp.ndarray  # (4^k,) int32 lookup[h+1]-lookup[h] (one gather per query)
     occ_rows: jnp.ndarray  # (ceil(n/8)+1, 16) uint32 — (sid,pos) pairs, 8 per 64B row
-    ref_flat: jnp.ndarray  # (total,) uint8 flat genome codes with gaps
     ref_rows: jnp.ndarray  # (total/64, 16) uint32 — same bytes, 64B rows
     ref_offsets: jnp.ndarray  # (num_seqs,) int32 offsets into ref_flat
     ref_lengths: jnp.ndarray  # (num_seqs,) int32 chromosome lengths
@@ -65,7 +64,6 @@ def device_index_from_host(index: FemIndex, reference: Reference) -> DeviceIndex
         lookup=jnp.asarray(lookup_i32),
         freq_table=jnp.asarray(np.diff(lookup_i32)),
         occ_rows=jnp.asarray(occ_rows),
-        ref_flat=jnp.asarray(reference.flat_codes),
         ref_rows=jnp.asarray(rows),
         ref_offsets=jnp.asarray(reference.offsets.astype(np.int32)),
         ref_lengths=jnp.asarray(reference.lengths.astype(np.int32)),

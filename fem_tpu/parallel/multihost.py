@@ -45,11 +45,18 @@ def initialize(
 ) -> HostContext:
     """Bring up jax.distributed. Call before any other JAX use (the
     backend must not be initialized yet). A `num_hosts == 1` context is a
-    no-op so single-host runs take the exact same code path."""
+    no-op so single-host runs take the exact same code path.
+
+    With `coordinator=None` and `num_hosts > 1` the context is a *local
+    worker*: one of several independent processes sharing this machine's
+    devices (the CLI's `-t` mapper processes — the tunneled TPU runtime
+    serializes per-process, so extra processes multiply throughput the
+    way the reference's pthread workers did, src/FEM_map.c:182-189).
+    No jax.distributed: the parent merges SAM shards and counters."""
     if num_hosts <= 1:
         return HostContext(1, 0, False)
     if coordinator is None:
-        raise ValueError("--coordinator host:port is required with --num-hosts > 1")
+        return HostContext(num_hosts, host_id, False)
     import jax
 
     kwargs = {}

@@ -179,7 +179,7 @@ def make_index_sharded_map_fn(
     n_ip = mesh.shape[INDEX_AXIS]
 
     def shard_fn(
-        lookup, freq_table, occ_rows, ref_flat, ref_rows, ref_offsets,
+        lookup, freq_table, occ_rows, ref_rows, ref_offsets,
         ref_lengths, num_occurrences, packed_in, salt,
     ):
         packed_in = jnp.roll(
@@ -194,7 +194,6 @@ def make_index_sharded_map_fn(
             lookup=lookup[0],
             freq_table=freq_table,
             occ_rows=occ_rows[0],
-            ref_flat=ref_flat[0],
             ref_rows=ref_rows[0],
             ref_offsets=ref_offsets[0],
             ref_lengths=ref_lengths,
@@ -227,7 +226,6 @@ def make_index_sharded_map_fn(
             P(INDEX_AXIS),  # lookup
             P(),  # freq_table
             P(INDEX_AXIS),  # occ_rows
-            P(INDEX_AXIS),  # ref_flat
             P(INDEX_AXIS),  # ref_rows
             P(INDEX_AXIS),  # ref_offsets
             P(),  # ref_lengths

@@ -27,6 +27,12 @@ def _enable_compile_cache() -> None:
     multi-minute TPU compile; cache it across invocations."""
     import jax
 
+    # Platform override for worker subprocesses and tests (the
+    # JAX_PLATFORMS env var is shadowed by TPU platform plugins; the
+    # config update is authoritative).
+    plat = os.environ.get("FEM_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/fem_tpu_xla")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
@@ -66,6 +72,94 @@ def index_main(argv: list[str]) -> int:
         file=sys.stderr,
     )
     save_index(index, output_path)
+    return 0
+
+
+def _map_parent_workers(args, argv: list[str]) -> int:
+    """Fan `fem map -t N` out to N single-threaded worker processes over
+    interleaved batch shards, then merge their SAM shards and counters."""
+    import json
+    import subprocess
+    import tempfile
+
+    import fem_tpu
+    from fem_tpu.parallel.multihost import HostContext, shard_path
+
+    t = args.t
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(fem_tpu.__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        procs = []
+        for w in range(t):
+            wargv = list(argv)
+            # Rewrite -t and inject the worker-shard arguments.
+            for flag, val in (("-t", "1"),):
+                if flag in wargv:
+                    i = wargv.index(flag)
+                    wargv[i + 1] = val
+                else:
+                    wargv += [flag, val]
+            wargv += [
+                "--num-hosts", str(t), "--host-id", str(w),
+                "--stats-json", os.path.join(tmp, f"stats{w}.json"),
+            ]
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-m", "fem_tpu", "map", *wargv],
+                    stderr=subprocess.PIPE, text=True, env=env,
+                )
+            )
+        rc = 0
+        for w, p in enumerate(procs):
+            _, err = p.communicate()
+            if p.returncode != 0:
+                print(err, file=sys.stderr)
+                rc = p.returncode
+        if rc:
+            return rc
+
+        # Merge SAM shards: header from shard 0, records from all shards
+        # (inter-read order across workers is unordered, exactly like the
+        # reference with t > 1 — record-set equality is the contract).
+        with open(args.output, "wb") as out:
+            for w in range(t):
+                sp = shard_path(args.output, HostContext(t, w, False))
+                with open(sp, "rb") as f:
+                    for line in f:
+                        if w == 0 or not line.startswith(b"@"):
+                            out.write(line)
+                os.unlink(sp)
+
+        totals = [0] * 5
+        keys = [
+            "num_reads", "num_mapped_reads",
+            "num_candidates_without_additional_qgram_filter",
+            "num_candidates", "num_mappings",
+        ]
+        for w in range(t):
+            # Workers shard their --stats-json path like any multi-host run.
+            sp = shard_path(os.path.join(tmp, f"stats{w}.json"), HostContext(t, w, False))
+            with open(sp) as f:
+                st = json.load(f)["mapping_stats"]
+            for i, k in enumerate(keys):
+                totals[i] += st[k]
+        if args.stats_json:
+            with open(args.stats_json, "w") as f:
+                json.dump({"mapping_stats": dict(zip(keys, totals))}, f, indent=2)
+                f.write("\n")
+    print(f"The number of read: {totals[0]}", file=sys.stderr)
+    print(f"The number of mapped read: {totals[1]}", file=sys.stderr)
+    print(
+        "The number of candidate before additional q-gram filter: "
+        f"{totals[2]}",
+        file=sys.stderr,
+    )
+    print(f"The number of candidate: {totals[3]}", file=sys.stderr)
+    print(f"The number of mapping: {totals[4]}", file=sys.stderr)
     return 0
 
 
@@ -119,6 +213,15 @@ def map_main(argv: list[str]) -> int:
         # seeding (src/FEM_map.c:109-117 leaves the 'v' branch empty).
         print("Wrong name of seeding algorithm!", file=sys.stderr)
         return 1
+
+    if args.t > 1 and args.engine == "device" and args.num_hosts == 1:
+        # The reference's -t spawns t pthread mapping workers over disjoint
+        # batches (src/FEM_map.c:182-189). Here each worker is a PROCESS
+        # sharing this machine's TPU: the tunneled runtime serializes
+        # dispatch completions per process, so processes multiply
+        # throughput where threads could not. Workers write SAM shards and
+        # stats files; the parent merges both.
+        return _map_parent_workers(args, argv)
 
     from fem_tpu.config import FemArgs
     from fem_tpu.golden.model import GoldenMapper, MappingStats

@@ -336,7 +336,6 @@ class MappingEngine:
             shard(sh.lookup),
             repl(sh.freq_table),
             shard(sh.occ_rows),
-            shard(sh.ref_flat),
             shard(sh.ref_rows),
             shard(sh.ref_offsets),
             repl(sh.ref_lengths),
@@ -449,10 +448,20 @@ class MappingEngine:
             # Off-TPU compiles are deterministic; cross-host meshes cannot
             # probe independently (every process must join each dispatch).
             return self._make_fn(batch_size, max_len, 0)
+        # The probe time includes the per-dispatch result shipping over the
+        # tunneled link (~25 ms fixed + output bytes at ~10 MB/s), which no
+        # compile can remove — the threshold only needs to catch
+        # pathological code above that floor.
+        n_dp, n_ip = self._mesh_shape()
+        acc_cap = max(
+            max(2 * batch_size * self.config.accept_per_read, 64)
+            // (n_dp * n_ip),
+            8,
+        )
+        seg_kb = packed_segment_size(acc_cap, 2 * batch_size // n_dp) / 1024
+        default_ms = 28.0 + 3.0 * batch_size / 2048 + seg_kb / 10.0
         threshold = float(
-            os.environ.get(
-                "FEM_TPU_COMPILE_THRESHOLD_MS", 3.0 * max(1.0, batch_size / 2048)
-            )
+            os.environ.get("FEM_TPU_COMPILE_THRESHOLD_MS", default_ms)
         )
         cache_dir = jax.config.jax_compilation_cache_dir
         sidecar = os.path.join(cache_dir, "fem_tpu_nonces.json") if cache_dir else None

@@ -109,3 +109,24 @@ def test_two_host_map_equals_single_host(workdir, capsys):
     # Host 0 prints the allreduced counters; they equal the 1-host run's.
     host0_counters = _counters(outs[0][1])
     assert host0_counters == single_counters
+
+
+def test_worker_processes_t2(workdir, capsys, monkeypatch):
+    """`fem map -t 2` fans out to 2 worker processes sharing the machine's
+    devices (the reference's pthread workers as processes); the merged SAM
+    record set and counters equal the -t 1 run."""
+    d = workdir
+    monkeypatch.setenv("FEM_TPU_PLATFORM", "cpu")
+    base = [
+        "map", "-e", "2", "-a", "1",
+        "--ref", str(d / "ref.fa"), "--index", str(d / "ref.index"),
+        "--read1", str(d / "reads.fq"), "--batch-size", "64",
+    ]
+    assert cli.main(base + ["-o", str(d / "t1.sam"), "-t", "1"]) == 0
+    t1_counters = _counters(capsys.readouterr().err)
+    assert cli.main(base + ["-o", str(d / "t2.sam"), "-t", "2"]) == 0
+    t2_counters = _counters(capsys.readouterr().err)
+    assert _records(str(d / "t2.sam")) == _records(str(d / "t1.sam"))
+    assert t2_counters == t1_counters
+    with open(str(d / "t2.sam"), "rb") as f:
+        assert f.readline().startswith(b"@SQ"), "merged shard keeps the header"

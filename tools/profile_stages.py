@@ -135,9 +135,7 @@ def main() -> None:
         if stop == "full":
             def body(di, c, l):  # noqa: F811
                 out = map_core(di, c, l, params, verify_cap, use_pallas, 8192)
-                return jnp.sum(
-                    jax.lax.bitcast_convert_type(pack_outputs(out), jnp.uint32)
-                )
+                return jnp.sum(pack_outputs(out).astype(jnp.uint32))
 
         return jax.jit(body)
 
