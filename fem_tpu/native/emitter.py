@@ -37,6 +37,7 @@ def _load():
         ctypes.c_int32,  # error_threshold
         ctypes.POINTER(ctypes.c_void_p),  # out_buf
         ctypes.POINTER(ctypes.c_int64),  # out_len
+        ctypes.c_void_p,  # per_read_ends (int64[num_reads], optional)
     ]
     lib.fem_free.argtypes = [ctypes.c_void_p]
     return lib
@@ -81,7 +82,10 @@ class NativeEmitter:
         m_sid: np.ndarray,  # (M,) int32
         m_pos: np.ndarray,  # (M,) int64 band starts
         m_end: np.ndarray,  # (M,) int32 end offsets
-    ) -> bytes:
+        want_read_ends: bool = False,
+    ) -> bytes | tuple[bytes, np.ndarray]:
+        """Emit SAM text; with `want_read_ends` also return per-read
+        exclusive end offsets into the blob (for record splicing)."""
         if getattr(batch, "has_blobs", False):
             names_blob = batch.names_blob
             name_offsets = np.ascontiguousarray(batch.name_offsets, np.int64)
@@ -101,6 +105,9 @@ class NativeEmitter:
         m_end = np.ascontiguousarray(m_end, np.int32)
         out_buf = ctypes.c_void_p()
         out_len = ctypes.c_int64()
+        read_ends = (
+            np.zeros(batch.num_reads, np.int64) if want_read_ends else None
+        )
 
         def vp(arr: np.ndarray):
             return arr.ctypes.data_as(ctypes.c_void_p)
@@ -127,10 +134,12 @@ class NativeEmitter:
             self._e,
             ctypes.byref(out_buf),
             ctypes.byref(out_len),
+            vp(read_ends) if read_ends is not None else None,
         )
         if rc != 0:
             raise RuntimeError(f"fem_emit_batch failed with {rc}")
         try:
-            return ctypes.string_at(out_buf, out_len.value)
+            blob = ctypes.string_at(out_buf, out_len.value)
         finally:
             _lib.fem_free(out_buf)
+        return (blob, read_ends) if want_read_ends else blob

@@ -41,7 +41,11 @@ extern "C" {
 // radix-sorted emission order (src/align.c:56-57).
 //
 // Returns a malloc'd buffer in *out_buf (length *out_len); caller frees
-// with fem_free. Returns 0 on success.
+// with fem_free. `per_read_ends` (optional, caller-allocated, num_reads
+// entries) receives each read's exclusive end offset into the buffer so
+// callers can splice records per read (the engine's capacity-retry path
+// re-emits overflowed reads and needs read-granular segments).
+// Returns 0 on success.
 int fem_emit_batch(
     const uint8_t* ref_blob, const int64_t* ref_offsets, const int64_t* ref_lens,
     const uint8_t* ref_names_blob, const int64_t* ref_name_offsets,
@@ -54,7 +58,7 @@ int fem_emit_batch(
     const uint8_t* m_dir, const uint8_t* m_ed, const int32_t* m_sid,
     const int64_t* m_pos, const int32_t* m_end,
     int32_t error_threshold,
-    uint8_t** out_buf, int64_t* out_len) {
+    uint8_t** out_buf, int64_t* out_len, int64_t* per_read_ends) {
   (void)ref_lens;
   const int e = error_threshold;
   const Tables& tbl = tables();
@@ -64,6 +68,8 @@ int fem_emit_batch(
   for (int32_t r = 0; r < num_reads; ++r)
     mprefix[r + 1] = mprefix[r] + map_counts[r];
 
+  std::vector<int64_t> read_sizes(per_read_ends ? num_reads : 0, 0);
+
   auto emit_range = [&](int32_t r_lo, int32_t r_hi, std::string& out) {
     out.reserve(64 + (size_t)(r_hi - r_lo) * 192);
     std::vector<MappingRec> recs;
@@ -71,6 +77,7 @@ int fem_emit_batch(
     std::vector<std::pair<char, int>> cigar;
     std::string md;
     for (int32_t r = r_lo; r < r_hi; ++r) {
+      const size_t out0 = out.size();
       int32_t cnt = map_counts[r];
       if (cnt == 0) continue;
       const int64_t mi0 = mprefix[r];
@@ -139,6 +146,7 @@ int fem_emit_batch(
         out.append(md);
         out.push_back('\n');
       }
+      if (per_read_ends) read_sizes[r] = (int64_t)(out.size() - out0);
     }
   };
 
@@ -167,6 +175,14 @@ int fem_emit_batch(
       threads.emplace_back([&, lo, hi, t] { emit_range(lo, hi, parts[t]); });
     }
     for (auto& th : threads) th.join();
+  }
+
+  if (per_read_ends) {
+    int64_t acc = 0;
+    for (int32_t r = 0; r < num_reads; ++r) {
+      acc += read_sizes[r];
+      per_read_ends[r] = acc;
+    }
   }
 
   int64_t total = 0;

@@ -268,6 +268,23 @@ def generate_candidates(
     # recoverable from the sid sentinel, so only the two keys travel.
     sid_s, diag_s = bitonic_sort_2key(sid_s, diag_s)
     valid_s = sid_s != SENTINEL_SID
+    # Coordinate-range sharding: if this shard's slice of the candidate's
+    # chromosome starts mid-chromosome (halo_lo), candidates in the slice's
+    # first e positions could sit within e of unseen pre-halo candidates —
+    # the greedy dedup fold below cannot prove its carry is right there, so
+    # such reads take the exact host path (rare: the halo is ~40 read
+    # lengths). Checked pre-vote: a voted-out candidate never enters the
+    # fold, but the conservative superset costs only extra fallbacks.
+    halo_risk = None
+    if index.halo_lo is not None:
+        hlo = jnp.take(
+            index.halo_lo,
+            jnp.clip(sid_s, 0, index.halo_lo.shape[0] - 1),
+            mode="clip",
+        )
+        halo_risk = (
+            valid_s & (diag_s >= hlo) & (diag_s < hlo + e)
+        ).any(axis=(1, 2))
     if a > 0:
         pad_sid = jnp.concatenate(
             [sid_s[..., a:], jnp.full((NB, G, a), SENTINEL_SID, jnp.int32)], axis=2
@@ -347,6 +364,16 @@ def generate_candidates(
     )
     in_range = (cand_pos >= e) & (cand_pos + lengths[:, None] + e < ref_len)
     cand_valid &= in_range
+    # Coordinate-range ownership: the dedup above ran over owned + halo
+    # candidates (so the fold matches the global one); only candidates
+    # whose diagonal position lies in this shard's owned range survive —
+    # each global candidate is emitted by exactly one shard.
+    if index.own_start is not None:
+        sid_c = jnp.clip(cand_sid, 0, index.own_start.shape[0] - 1)
+        owned = (cand_pos >= jnp.take(index.own_start, sid_c)) & (
+            cand_pos < jnp.take(index.own_end, sid_c)
+        )
+        cand_valid &= owned
     cand_pos = jnp.where(cand_valid, cand_pos - e, cand_pos)
 
     # Degenerate groups (DP < 2 columns) are defined no-ops, not fallbacks
@@ -357,6 +384,8 @@ def generate_candidates(
         | overflow_cand
         | jnp.any(~complete & ~degenerate, axis=1)
     )
+    if halo_risk is not None:
+        needs_fallback |= mappable & halo_risk
     num_candidates = cand_valid.sum(axis=1).astype(jnp.int32)
     return CandidateResult(
         cand_sid, cand_pos, cand_valid, num_candidates, dp_total, needs_fallback, mappable

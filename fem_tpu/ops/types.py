@@ -34,6 +34,16 @@ class DeviceIndex(NamedTuple):
     ref_offsets: jnp.ndarray  # (num_seqs,) int32 offsets into ref_flat
     ref_lengths: jnp.ndarray  # (num_seqs,) int32 chromosome lengths
     num_occurrences: jnp.ndarray  # () int32
+    # Coordinate-range sharding (fem_tpu/parallel/sharded_index.py): the
+    # shard owns [own_start, own_end) of each chromosome and stores a halo
+    # beyond it; candidates outside the owned range drop after dedup, and
+    # reads with candidates in the first `e` positions of a mid-chromosome
+    # slice (halo_lo sentinel 2^30 = slice starts at 0) fall back — the
+    # local dedup fold cannot see the pre-halo carry. None on an
+    # unsharded index.
+    own_start: jnp.ndarray | None = None  # (num_seqs,) int32
+    own_end: jnp.ndarray | None = None  # (num_seqs,) int32
+    halo_lo: jnp.ndarray | None = None  # (num_seqs,) int32
 
 
 _ROW_BYTES = 64

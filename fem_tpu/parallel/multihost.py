@@ -133,3 +133,29 @@ def local_data_mesh():
     from jax.sharding import Mesh
 
     return Mesh(np.array(jax.local_devices()), ("data",))
+
+
+def global_index_mesh(n_index_shards: int):
+    """Global ('data', 'index') mesh over ALL processes' devices for the
+    coordinate-sharded index (GRCh38-scale occurrence tables, SURVEY.md
+    §5.7). Devices are laid out so each data row interleaves processes:
+    the index axis (whose lexicographic pmax + row all_gather are the only
+    collectives in the mapping step) crosses hosts, riding ICI within a
+    host and DCN between them."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    n_proc = max(jax.process_count(), 1)
+    total = len(devs)
+    if total % n_index_shards:
+        raise ValueError(
+            f"{total} devices not divisible by {n_index_shards} index shards"
+        )
+    n_dp = total // n_index_shards
+    grid = (
+        np.array(devs)
+        .reshape(n_proc, total // n_proc)
+        .T.reshape(n_dp, n_index_shards)
+    )
+    return Mesh(grid, ("data", "index"))

@@ -47,19 +47,27 @@ class ShardedIndex:
     """Host-side stacked per-shard arrays (leading dim = shard)."""
 
     num_shards: int
-    shard_of_sid: np.ndarray  # (num_seqs,) int32
+    ranges: List[List[tuple]]  # per shard: [(sid, start, end)] owned ranges
+    halo: int  # occurrence/reference overlap beyond owned ranges (bases)
     lookup: np.ndarray  # (n, 4^k+1) int32 local CSR
     freq_table: np.ndarray  # (4^k,) int32 global frequencies
     occ_rows: np.ndarray  # (n, max_occ_rows, 16) uint32
     ref_flat: np.ndarray  # (n, max_ref) uint8
     ref_rows: np.ndarray  # (n, max_ref/64, 16) uint32
-    ref_offsets: np.ndarray  # (n, num_seqs) int32 — offsets into shard ref_flat
+    ref_offsets: np.ndarray  # (n, num_seqs) int32 — ref_flat[off + p] = chrom[p]
     ref_lengths: np.ndarray  # (num_seqs,) int32
     num_occurrences: np.ndarray  # () int32 global
+    own_start: np.ndarray  # (n, num_seqs) int32 owned [start, end) per sid
+    own_end: np.ndarray  # (n, num_seqs) int32 (start == end: none owned)
+    halo_lo: np.ndarray  # (n, num_seqs) int32 left-halo slice start, or
+    # 2^30 sentinel when the slice starts at the chromosome start (no
+    # unseen left context -> the local dedup fold is exact)
 
 
 def partition_chromosomes(lengths: np.ndarray, num_shards: int) -> List[List[int]]:
-    """Contiguous, in-order partition of chromosomes balanced by length."""
+    """Contiguous, in-order partition of whole chromosomes balanced by
+    length (kept for diagnostics; `partition_ranges` is what the build
+    uses — it also splits inside a chromosome)."""
     total = int(lengths.sum())
     target = total / num_shards
     groups: List[List[int]] = []
@@ -85,35 +93,88 @@ def partition_chromosomes(lengths: np.ndarray, num_shards: int) -> List[List[int
     return groups
 
 
-def build_sharded_index(
-    index: FemIndex, reference: Reference, num_shards: int, gap: int = 256
-) -> ShardedIndex:
-    lengths = reference.lengths.astype(np.int64)
-    groups = partition_chromosomes(lengths, num_shards)
-    shard_of_sid = np.zeros(reference.num_seqs, np.int32)
-    for s, g in enumerate(groups):
-        for sid in g:
-            shard_of_sid[sid] = s
+def partition_ranges(lengths: np.ndarray, num_shards: int) -> List[List[tuple]]:
+    """Equal-bases contiguous partition of the concatenated genome into
+    coordinate ranges, splitting INSIDE chromosomes when needed — so a
+    single huge chromosome (GRCh38 chr1, 248 Mb) spreads over shards
+    instead of pinning its whole occurrence mass to one device. Returns
+    per-shard [(sid, start, end)] pieces, in order, disjoint, covering."""
+    lengths = np.asarray(lengths, np.int64)
+    total = int(lengths.sum())
+    bounds = np.concatenate([[0], np.cumsum(lengths)])
+    out: List[List[tuple]] = []
+    for k in range(num_shards):
+        lo = total * k // num_shards
+        hi = total * (k + 1) // num_shards
+        pieces = []
+        for sid in range(len(lengths)):
+            s = max(lo, int(bounds[sid]))
+            e = min(hi, int(bounds[sid + 1]))
+            if s < e:
+                pieces.append((sid, s - int(bounds[sid]), e - int(bounds[sid])))
+        out.append(pieces)
+    return out
 
-    sid_all = (index.occurrences >> np.uint64(32)).astype(np.int64)
-    pos_all = (index.occurrences & np.uint64(0xFFFFFFFF)).astype(np.int64)
+
+def build_sharded_index(
+    index: FemIndex,
+    reference: Reference,
+    num_shards: int,
+    gap: int = 256,
+    halo: int = 4096,
+) -> ShardedIndex:
+    """Shard occurrences + reference by coordinate range with a `halo`
+    overlap: shard s stores occurrences/reference for [start-halo,
+    end+halo) of each owned piece, so candidate generation, the pigeonhole
+    vote, the greedy ±e dedup, and banded verification of every OWNED
+    candidate are shard-local (reads longer than halo - 2e are rejected at
+    engine setup). Candidates outside the owned ranges are dropped after
+    dedup (each global candidate is owned exactly once); reads with
+    candidates in the first `e` positions of a mid-chromosome slice fall
+    back to the exact host mapper — the local dedup fold cannot prove the
+    unseen pre-halo carry is irrelevant there (see ops/candidates.py)."""
+    lengths = reference.lengths.astype(np.int64)
+    shard_ranges = partition_ranges(lengths, num_shards)
+    num_seqs = reference.num_seqs
+
+    sid_all = (index.occurrences >> np.uint64(32)).astype(np.uint32)
+    pos_all = (index.occurrences & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hash_of = np.repeat(
         np.arange(index.lookup.shape[0] - 1, dtype=np.int64),
         np.diff(index.lookup.astype(np.int64)),
     )
+    # Shard membership by concatenated-genome coordinate: two compares per
+    # occurrence per shard (vs per-piece masks, untenable at 1e9
+    # occurrences). The window may pull in a neighboring chromosome's
+    # tail/head where a cut abuts a chromosome boundary — harmless: those
+    # candidates are never owned (dropped post-dedup) and a different-sid
+    # carry never suppresses a kept candidate in the greedy fold.
+    bounds = np.concatenate([[0], np.cumsum(lengths)])
+    gpos = bounds[sid_all.astype(np.int64)] + pos_all.astype(np.int64)
+    total = int(lengths.sum())
+
+    own_start = np.zeros((num_shards, num_seqs), np.int32)
+    own_end = np.zeros((num_shards, num_seqs), np.int32)
+    halo_lo = np.full((num_shards, num_seqs), 2**30, np.int32)
 
     nbuckets = index.lookup.shape[0] - 1
     lookups = []
     occ_pair_lists = []
-    for s, g in enumerate(groups):
-        in_shard = np.isin(sid_all, np.array(g, dtype=np.int64))
-        counts = np.bincount(hash_of[in_shard], minlength=nbuckets)
+    for s, pieces in enumerate(shard_ranges):
+        for sid, rs, re in pieces:
+            own_start[s, sid] = rs
+            own_end[s, sid] = re
+            if rs - halo > 0:
+                halo_lo[s, sid] = rs - halo
+        cut_lo = total * s // num_shards - halo
+        cut_hi = total * (s + 1) // num_shards + halo
+        mask = (gpos >= cut_lo) & (gpos < cut_hi)
+        counts = np.bincount(hash_of[mask], minlength=nbuckets)
         lk = np.zeros(nbuckets + 1, np.int64)
         np.cumsum(counts, out=lk[1:])
         lookups.append(lk.astype(np.int32))
         pairs = np.stack(
-            [sid_all[in_shard].astype(np.uint32), pos_all[in_shard].astype(np.uint32)],
-            axis=1,
+            [sid_all[mask], pos_all[mask]], axis=1
         )  # occurrence order preserved -> bucket-sorted like the global CSR
         occ_pair_lists.append(pairs)
 
@@ -125,18 +186,28 @@ def build_sharded_index(
         buf[: pairs.shape[0]] = pairs
         occ_rows[s] = buf.reshape(max_rows, 16)
 
-    # Per-shard reference slices (leading + trailing sentinel gaps).
+    # Per-shard reference slices (leading + trailing sentinel gaps). Slice
+    # [lo, hi) of chromosome `sid` lands at flat position `pos`, so the
+    # global-coordinate offset is pos - lo.
     flats = []
-    offsets = np.zeros((num_shards, reference.num_seqs), np.int32)
-    for s, g in enumerate(groups):
-        size = gap + sum(int(lengths[sid]) + gap for sid in g)
+    offsets = np.zeros((num_shards, num_seqs), np.int32)
+    for s, pieces in enumerate(shard_ranges):
+        spans = [
+            (
+                sid,
+                max(rs - halo, 0),
+                min(re + halo, int(lengths[sid])),
+            )
+            for sid, rs, re in pieces
+        ]
+        size = gap + sum(hi - lo + gap for _, lo, hi in spans)
         size += (-size) % _ROW_BYTES + _ROW_BYTES
         flat = np.full(size, 4, np.uint8)
         pos = gap
-        for sid in g:
-            offsets[s, sid] = pos
-            flat[pos : pos + int(lengths[sid])] = reference.codes_of(sid)
-            pos += int(lengths[sid]) + gap
+        for sid, lo, hi in spans:
+            offsets[s, sid] = pos - lo
+            flat[pos : pos + hi - lo] = reference.codes_of(sid)[lo:hi]
+            pos += hi - lo + gap
         flats.append(flat)
     max_ref = max(f.shape[0] for f in flats)
     max_ref += (-max_ref) % _ROW_BYTES
@@ -150,7 +221,8 @@ def build_sharded_index(
     lookup_i32 = index.lookup.astype(np.int32)
     return ShardedIndex(
         num_shards=num_shards,
-        shard_of_sid=shard_of_sid,
+        ranges=shard_ranges,
+        halo=halo,
         lookup=np.stack(lookups),
         freq_table=np.diff(lookup_i32),
         occ_rows=occ_rows,
@@ -159,6 +231,9 @@ def build_sharded_index(
         ref_offsets=offsets,
         ref_lengths=reference.lengths.astype(np.int32),
         num_occurrences=np.int32(index.num_occurrences),
+        own_start=own_start,
+        own_end=own_end,
+        halo_lo=halo_lo,
     )
 
 
@@ -169,10 +244,19 @@ def make_index_sharded_map_fn(
     accept_cap_per_shard: int,
     use_pallas: bool,
     nonce: int = 0,
+    gather_rows: bool = False,
 ):
     """shard_map over a ('data', 'index') mesh: reads sharded on `data`,
     index pieces sharded on `index`, full mapping step per device.
-    `salt`/`nonce` re-key the compile cache (MappingEngine._compile_with_reroll)."""
+    `salt`/`nonce` re-key the compile cache (MappingEngine._compile_with_reroll).
+
+    With `gather_rows` (the cross-host mode), each data row's per-index-
+    shard packed segments all_gather over the index axis *inside* the
+    program, so every device holds its row's complete hit set and any one
+    host owning a device in the row can emit that row's reads without
+    host-side cross-process traffic (the hit merge rides ICI/DCN,
+    SURVEY.md §5.8). Lane ids then stay row-local ([0, 2*Bloc)) so a row
+    segment unpacks exactly like a single-host (1 x n_ip) batch."""
     from fem_tpu.pipeline.engine import map_core, pack_outputs
 
     n_dp = mesh.shape[DATA_AXIS]
@@ -180,7 +264,8 @@ def make_index_sharded_map_fn(
 
     def shard_fn(
         lookup, freq_table, occ_rows, ref_rows, ref_offsets,
-        ref_lengths, num_occurrences, packed_in, salt,
+        ref_lengths, num_occurrences, own_start, own_end, halo_lo,
+        packed_in, salt,
     ):
         packed_in = jnp.roll(
             packed_in,
@@ -198,26 +283,44 @@ def make_index_sharded_map_fn(
             ref_offsets=ref_offsets[0],
             ref_lengths=ref_lengths,
             num_occurrences=num_occurrences,
+            own_start=own_start[0],
+            own_end=own_end[0],
+            halo_lo=halo_lo[0],
         )
         out = map_core(
             index, codes, lengths, params, verify_cap_per_shard, use_pallas,
             accept_cap_per_shard, index_axis=INDEX_AXIS,
         )
         Bloc = codes.shape[0]
-        shard = jax.lax.axis_index(DATA_AXIS)
-        l = out["a_lane"]
-        strand = (l >= Bloc).astype(jnp.int32)
-        out["a_lane"] = strand * (n_dp * Bloc) + shard * Bloc + (l - strand * Bloc)
+        if not gather_rows:
+            # Globalize lane ids (single-host drain concatenates all
+            # shards); in gather_rows mode lanes stay row-local.
+            shard = jax.lax.axis_index(DATA_AXIS)
+            l = out["a_lane"]
+            strand = (l >= Bloc).astype(jnp.int32)
+            out["a_lane"] = (
+                strand * (n_dp * Bloc) + shard * Bloc + (l - strand * Bloc)
+            )
         # Global per-read counters: candidate counts sum over index shards;
         # fallback is any-shard; DP totals are identical on every shard.
         out["num_candidates"] = jax.lax.psum(out["num_candidates"], INDEX_AXIS)
         out["needs_fallback"] = (
             jax.lax.pmax(out["needs_fallback"].astype(jnp.int32), INDEX_AXIS) > 0
         )
+        # A read overflowing ANY index shard's slabs must retry wholly (its
+        # hit set would otherwise merge incomplete shards).
+        out["retry"] = (
+            jax.lax.pmax(out["retry"].astype(jnp.int32), INDEX_AXIS) > 0
+        )
         out["total_candidates"] = jax.lax.psum(
             out["total_candidates"], (DATA_AXIS, INDEX_AXIS)
         )
-        return pack_outputs(out)
+        seg = pack_outputs(out)
+        if gather_rows:
+            # Row-complete results on every device of the row: one
+            # all_gather over the index axis (ICI/DCN), n_ip segments each.
+            seg = jax.lax.all_gather(seg, INDEX_AXIS, axis=0).reshape(-1)
+        return seg
 
     fn = jax.shard_map(
         shard_fn,
@@ -230,10 +333,13 @@ def make_index_sharded_map_fn(
             P(INDEX_AXIS),  # ref_offsets
             P(),  # ref_lengths
             P(),  # num_occurrences
+            P(INDEX_AXIS),  # own_start
+            P(INDEX_AXIS),  # own_end
+            P(INDEX_AXIS),  # halo_lo
             P(DATA_AXIS),  # packed reads
             P(),  # salt
         ),
-        out_specs=P((DATA_AXIS, INDEX_AXIS)),
+        out_specs=P(DATA_AXIS) if gather_rows else P((DATA_AXIS, INDEX_AXIS)),
         check_vma=False,
     )
     return jax.jit(fn)

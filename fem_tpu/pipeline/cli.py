@@ -174,6 +174,14 @@ def map_main(argv: list[str]) -> int:
     p.add_argument("--read1", required=True, help="input read1 file")
     p.add_argument("-o", dest="output", required=True, help="output SAM file")
     p.add_argument("--batch-size", type=int, default=10000)
+    p.add_argument("--cap-occ", type=int, default=None,
+                   help="tier-0 occurrence-slab capacity (engine tuning)")
+    p.add_argument("--cap-cand", type=int, default=None,
+                   help="tier-0 candidate capacity (engine tuning)")
+    p.add_argument("--verify-per-read", type=int, default=None,
+                   help="tier-0 verify slots per read-strand (engine tuning)")
+    p.add_argument("--accept-per-read", type=int, default=None,
+                   help="tier-0 accepted-hit slots per read (engine tuning)")
     p.add_argument(
         "--engine",
         choices=["device", "golden"],
@@ -196,6 +204,10 @@ def map_main(argv: list[str]) -> int:
                    help="multi-host run: jax.distributed coordinator host:port")
     p.add_argument("--local-devices", type=int, default=None,
                    help="multi-host run: devices owned by this process")
+    p.add_argument("--index-shards", type=int, default=1,
+                   help="coordinate-shard the index over this many mesh "
+                        "shards (whole-genome scale; spans hosts when run "
+                        "under --coordinator)")
     args = p.parse_args(argv)
 
     # Constraint surface of check_args (src/FEM_map.c:29-55).
@@ -214,6 +226,10 @@ def map_main(argv: list[str]) -> int:
         print("Wrong name of seeding algorithm!", file=sys.stderr)
         return 1
 
+    if args.index_shards > 1 and args.t > 1:
+        print("--index-shards is incompatible with -t > 1 worker processes.",
+              file=sys.stderr)
+        return 1
     if args.t > 1 and args.engine == "device" and args.num_hosts == 1:
         # The reference's -t spawns t pthread mapping workers over disjoint
         # batches (src/FEM_map.c:182-189). Here each worker is a PROCESS
@@ -262,10 +278,19 @@ def map_main(argv: list[str]) -> int:
             skip_reads = int(f.read().strip() or 0)
         print(f"Resuming after {skip_reads} reads.", file=sys.stderr)
 
+    # Global-mesh mode: the index is coordinate-sharded over a mesh
+    # spanning all processes, so every host consumes the SAME batch stream
+    # (each host uploads its addressable slice and emits the data rows it
+    # owns) instead of the interleaved disjoint-batch assignment of the
+    # independent mode.
+    global_mesh_mode = args.index_shards > 1 and ctx.initialized
+
     def batches():
         skipped = 0
         stream = stream_fastq_batches(args.read1, batch_size=args.batch_size)
-        for batch in multihost.shard_batches(stream, ctx):
+        if not global_mesh_mode:
+            stream = multihost.shard_batches(stream, ctx)
+        for batch in stream:
             if skipped + batch.num_reads <= skip_reads:
                 skipped += batch.num_reads
                 continue
@@ -318,12 +343,37 @@ def map_main(argv: list[str]) -> int:
             import jax
 
             mesh = None
-            n_local = len(jax.local_devices())
-            if n_local > 1 and args.batch_size % n_local == 0:
-                mesh = multihost.local_data_mesh()
+            index_mesh = None
+            if args.index_shards > 1:
+                index_mesh = multihost.global_index_mesh(args.index_shards)
+                n_dp = index_mesh.shape["data"]
+                if args.batch_size % n_dp:
+                    print(
+                        f"--batch-size must be divisible by the data mesh "
+                        f"({n_dp}).",
+                        file=sys.stderr,
+                    )
+                    return 1
+            else:
+                n_local = len(jax.local_devices())
+                if n_local > 1 and args.batch_size % n_local == 0:
+                    mesh = multihost.local_data_mesh()
+            tune = {
+                k: v
+                for k, v in (
+                    ("cap_occ", args.cap_occ),
+                    ("cap_cand", args.cap_cand),
+                    ("verify_per_read", args.verify_per_read),
+                    ("accept_per_read", args.accept_per_read),
+                )
+                if v is not None
+            }
             engine = MappingEngine(
                 fem_args, reference, index,
-                EngineConfig(batch_size=args.batch_size, mesh=mesh),
+                EngineConfig(
+                    batch_size=args.batch_size, mesh=mesh,
+                    index_mesh=index_mesh, **tune,
+                ),
             )
             source = ThreadedBatchSource(batches())
             bt = Timer()
@@ -336,8 +386,12 @@ def map_main(argv: list[str]) -> int:
                 if args.verbose_batches:
                     print(f"Mapped read batch in {dt:f}s.", file=sys.stderr)
                 if ckpt_path:
+                    # Resume offset = longest fully-emitted stream prefix:
+                    # capacity-overflow reads retry on deferred tier batches,
+                    # so `processed` may momentarily exceed what's on disk —
+                    # the engine's watermark is the safe offset.
                     with open(ckpt_path + ".tmp", "w") as f:
-                        f.write(str(processed))
+                        f.write(str(skip_reads + engine.watermark_reads))
                     os.replace(ckpt_path + ".tmp", ckpt_path)
     finally:
         if profiling:

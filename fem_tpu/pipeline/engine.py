@@ -29,6 +29,24 @@ from fem_tpu.ops.types import DeviceIndex, FilterParams, device_index_from_host
 from fem_tpu.ops.verify import verify_candidates_jnp
 
 
+@dataclasses.dataclass(frozen=True)
+class TierConfig:
+    """One rung of the capacity-retry ladder: a compiled program shape.
+
+    Reads whose occurrence/candidate/verify/accept demand exceeds a tier's
+    static slabs are remapped at the next tier (smaller batch, bigger
+    caps); beyond the last tier the exact host mapper takes over. This is
+    how fixed XLA shapes preserve the reference's unbounded-merge semantics
+    (src/filter.c:80-131) on heavy-tailed occurrence distributions
+    (satellite repeats: seed frequencies 10^3-10^5)."""
+
+    batch_size: int
+    cap_occ: int
+    cap_cand: int
+    verify_per_read: int
+    accept_per_read: int
+
+
 @dataclasses.dataclass
 class EngineConfig:
     batch_size: int = 10000  # reads per device batch (src/FEM_map.c:151)
@@ -46,6 +64,9 @@ class EngineConfig:
     mesh: object | None = None  # jax.sharding.Mesh for multi-chip data parallelism
     index_mesh: object | None = None  # 2D ('data','index') Mesh: reads data-
     # parallel + coordinate-sharded index (GRCh38-scale genomes)
+    tiers: tuple[TierConfig, ...] | None = None  # retry ladder above tier 0;
+    # None = auto-derived (see MappingEngine._default_tiers). () disables
+    # device retries: overflow reads go straight to the host mapper.
 
 
 def map_core(
@@ -112,10 +133,28 @@ def map_core(
     def compact(x):
         return jnp.zeros((acc_cap,), x.dtype).at[a_slot].set(x)
 
+    # Per-read full-coverage test: verify slots and accepted-hit slots fill
+    # in lane-major slab order, so both truncations (verify_cap, acc_cap)
+    # cut a *prefix* of lanes. A read is fully covered iff both of its
+    # lanes' candidate spans end within verify_cap AND both lanes' accepted
+    # hits end within acc_cap; the rest carry a per-read retry flag and are
+    # remapped at a higher-capacity tier (the reference's filter has no
+    # static caps at all, src/filter.c:80-131 — this retry ladder is how
+    # fixed shapes keep the ALL-mappings guarantee).
+    cum_v = jnp.cumsum(cand.cand_valid.sum(axis=1, dtype=jnp.int32))
+    ok_v = cum_v <= verify_cap
+    acc_per_lane = jnp.zeros((NB,), jnp.int32).at[v_lane].add(
+        accepted.astype(jnp.int32)
+    )
+    ok_a = jnp.cumsum(acc_per_lane) <= acc_cap
+    ok_lane = ok_v & ok_a
+    retry = ~(ok_lane[:B] & ok_lane[B:])  # (B,) per read
+
     return {
         "slab_overflow": (
             (total > verify_cap) | (n_accepted > acc_cap)
         ).reshape(1),
+        "retry": retry,
         "a_lane": compact(v_lane),
         "a_sid": compact(v_sid),
         "a_pos": compact(v_pos),
@@ -155,7 +194,9 @@ def pack_outputs(out: dict) -> jnp.ndarray:
     """
     NB = out["num_candidates"].shape[0]
     B = NB // 2
-    fb_read = out["needs_fallback"][:B] | out["needs_fallback"][B:]
+    fb_read = (
+        out["needs_fallback"][:B] | out["needs_fallback"][B:] | out["retry"]
+    )
     mask = jnp.concatenate([~fb_read, ~fb_read]).astype(jnp.uint32)
     nc = out["num_candidates"].astype(jnp.uint32) * mask
     dp = out["dp_total"] * mask
@@ -226,7 +267,9 @@ def unpack_outputs(flat: np.ndarray, acc_cap: int, NB: int, nshards: int) -> dic
         ]
     ).astype(bool)  # (nshards, B)
     return {
-        "n_accepted": headers[:, 0],
+        # Accepted hits beyond acc_cap were dropped by the OOB scatter (the
+        # affected reads carry retry flags in the fallback bitmap).
+        "n_accepted": np.minimum(headers[:, 0], acc_cap),
         "slab_overflow": headers[:, 1],
         "total_candidates": headers[:1, 2],
         "sum_nc": headers[:, 3].astype(np.int64),
@@ -291,7 +334,7 @@ class MappingEngine:
         self.dindex = device_index_from_host(index, reference)
         if self.config.use_pallas is None:
             self.config.use_pallas = jax.devices()[0].platform == "tpu"
-        self._fns: Dict[Tuple[int, int], callable] = {}
+        self._fns: Dict[Tuple[int, int, int], callable] = {}
         self._agg_fns: Dict[int, callable] = {}
         self._on_tpu = jax.devices()[0].platform == "tpu"
         self._salt = None  # lazily-created runtime zero (see _make_device_fn)
@@ -299,7 +342,23 @@ class MappingEngine:
 
         self._fallback_lock = threading.Lock()
         self.fallback_reads = 0
+        # Capacity-retry ladder (tier 0 = the EngineConfig caps themselves).
+        if self.config.tiers is None:
+            self.tiers = self._default_tiers()
+        else:
+            self.tiers = tuple(self.config.tiers)
+        self.retried_reads = 0  # reads remapped at tier >= 1
+        # Stream-mode retry pool + completion watermark (for checkpoints):
+        # `_watermark_reads` counts the longest stream prefix whose records
+        # have all been emitted, including deferred retries.
+        self._pool_lock = threading.Lock()
+        self._retry_pool: list | None = None  # set inside map_stream
+        self._seq = 0
+        self._batch_state: Dict[int, list] = {}  # seq -> [n_reads, outstanding, drained]
+        self._watermark_seq = 0
+        self._watermark_reads = 0
         self._device_args = None  # set for the coordinate-sharded index mode
+        self._cross_host = self._mesh_crosses_hosts()
         if self.config.index_mesh is not None:
             self._init_sharded_index(index)
         self._native = None
@@ -322,16 +381,35 @@ class MappingEngine:
             except Exception:
                 self._cpu_mapper = None
 
+    def _mesh_crosses_hosts(self) -> bool:
+        mesh = self.config.index_mesh or self.config.mesh
+        return mesh is not None and any(
+            d.process_index != jax.process_index() for d in mesh.devices.flat
+        )
+
+    def _global_put(self, mesh, spec, x):
+        """Place a host array on a (possibly multi-process) mesh. Every
+        process holds the full host copy, so the per-shard callback just
+        slices it — no cross-host data movement."""
+        from jax.sharding import NamedSharding
+
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, spec)
+        if not self._cross_host:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
     def _init_sharded_index(self, index: FemIndex) -> None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
         from fem_tpu.parallel.sharded_index import INDEX_AXIS, build_sharded_index
 
         mesh = self.config.index_mesh
         n_ip = mesh.shape[INDEX_AXIS]
         sh = build_sharded_index(index, self.reference, n_ip)
-        shard = lambda x: jax.device_put(x, NamedSharding(mesh, P(INDEX_AXIS)))
-        repl = lambda x: jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+        self._sharded_halo = sh.halo
+        shard = lambda x: self._global_put(mesh, P(INDEX_AXIS), x)
+        repl = lambda x: self._global_put(mesh, P(), x)
         self._device_args = (
             shard(sh.lookup),
             repl(sh.freq_table),
@@ -340,6 +418,9 @@ class MappingEngine:
             shard(sh.ref_offsets),
             repl(sh.ref_lengths),
             repl(sh.num_occurrences),
+            shard(sh.own_start),
+            shard(sh.own_end),
+            shard(sh.halo_lo),
         )
 
     def _mesh_shape(self) -> Tuple[int, int]:
@@ -351,15 +432,57 @@ class MappingEngine:
             return self.config.mesh.devices.size, 1
         return 1, 1
 
-    def _make_fn(self, batch_size: int, max_len: int, nonce: int):
+    def _default_tiers(self) -> tuple:
+        """Auto retry ladder above tier 0: ~8x caps at 1/16 batch, then a
+        64-read heavy-tail tier. Programs compile lazily (first overflow)
+        and hit the persistent compile cache afterwards."""
+        c = self.config
+        n_dp, _ = self._mesh_shape()
+
+        def align(b):  # batch must split evenly over the data mesh
+            return max(-(-b // n_dp) * n_dp, n_dp)
+
+        def cap8(x):  # occurrence slabs are 8-slot-chunk aligned
+            return -(-x // 8) * 8
+
+        t1 = TierConfig(
+            batch_size=align(min(c.batch_size, 512)),
+            cap_occ=cap8(max(8 * c.cap_occ, 512)),
+            cap_cand=cap8(max(8 * c.cap_cand, 512)),
+            verify_per_read=max(8 * c.verify_per_read, 64),
+            accept_per_read=max(8 * c.accept_per_read, 32),
+        )
+        t2 = TierConfig(
+            batch_size=align(min(c.batch_size, 64)),
+            cap_occ=max(cap8(8 * t1.cap_occ), 4096),
+            cap_cand=max(cap8(8 * t1.cap_cand), 4096),
+            verify_per_read=max(8 * t1.verify_per_read, 2048),
+            accept_per_read=max(8 * t1.accept_per_read, 512),
+        )
+        return (t1, t2)
+
+    def _tier(self, tier: int) -> TierConfig:
+        if tier == 0:
+            c = self.config
+            return TierConfig(
+                batch_size=c.batch_size,
+                cap_occ=c.cap_occ,
+                cap_cand=c.cap_cand,
+                verify_per_read=c.verify_per_read,
+                accept_per_read=c.accept_per_read,
+            )
+        return self.tiers[tier - 1]
+
+    def _make_fn(self, batch_size: int, max_len: int, nonce: int, tier: int = 0):
+        tc = self._tier(tier)
         params = FilterParams.from_args(
             self.args,
             max_len,
-            cap_occ=self.config.cap_occ,
-            cap_cand=self.config.cap_cand,
+            cap_occ=tc.cap_occ,
+            cap_cand=tc.cap_cand,
         )
-        verify_cap = 2 * batch_size * self.config.verify_per_read
-        accept_cap = max(2 * batch_size * self.config.accept_per_read, 64)
+        verify_cap = 2 * batch_size * tc.verify_per_read
+        accept_cap = max(2 * batch_size * tc.accept_per_read, 64)
         if self.config.index_mesh is not None:
             from fem_tpu.parallel.sharded_index import make_index_sharded_map_fn
 
@@ -368,6 +491,14 @@ class MappingEngine:
                 raise ValueError(
                     f"batch size {batch_size} not divisible by data mesh {n_dp}"
                 )
+            e = self.args.error_threshold
+            if max_len + 2 * e > self._sharded_halo:
+                # Owned candidates' verification bands must stay inside the
+                # shard's [start - halo, end + halo) slice.
+                raise ValueError(
+                    f"read length {max_len} exceeds the sharded-index halo "
+                    f"({self._sharded_halo}); rebuild with a larger halo"
+                )
             fn = make_index_sharded_map_fn(
                 self.config.index_mesh,
                 params,
@@ -375,8 +506,15 @@ class MappingEngine:
                 max(accept_cap // (n_dp * n_ip), 8),
                 self.config.use_pallas,
                 nonce=nonce,
+                gather_rows=self._cross_host,
             )
         elif self.config.mesh is not None:
+            if self._cross_host:
+                raise ValueError(
+                    "cross-host pure data parallelism uses the independent "
+                    "multi-host mode (one engine per host); a cross-host "
+                    "mesh is only for the coordinate-sharded index"
+                )
             from fem_tpu.parallel.mesh import make_sharded_map_fn
 
             n = self.config.mesh.devices.size
@@ -428,7 +566,7 @@ class MappingEngine:
         jax.block_until_ready(salt)
         return (time.perf_counter() - t0) / iters * 1e3
 
-    def _compile_with_reroll(self, batch_size: int, max_len: int):
+    def _compile_with_reroll(self, batch_size: int, max_len: int, tier: int = 0):
         """Compile the device program, probe it, and re-roll bad compiles.
 
         The remote TPU compile service produces nondeterministic code
@@ -447,14 +585,15 @@ class MappingEngine:
         if not on_tpu or rolls <= 1 or crosses_hosts:
             # Off-TPU compiles are deterministic; cross-host meshes cannot
             # probe independently (every process must join each dispatch).
-            return self._make_fn(batch_size, max_len, 0)
+            return self._make_fn(batch_size, max_len, 0, tier)
         # The probe time includes the per-dispatch result shipping over the
         # tunneled link (~25 ms fixed + output bytes at ~10 MB/s), which no
         # compile can remove — the threshold only needs to catch
         # pathological code above that floor.
+        tc = self._tier(tier)
         n_dp, n_ip = self._mesh_shape()
         acc_cap = max(
-            max(2 * batch_size * self.config.accept_per_read, 64)
+            max(2 * batch_size * tc.accept_per_read, 64)
             // (n_dp * n_ip),
             8,
         )
@@ -469,9 +608,9 @@ class MappingEngine:
             f"v{getattr(__import__('fem_tpu'), '__version__', '0')}|"
             f"B{batch_size}|L{max_len}|e{self.args.error_threshold}|"
             f"a{self.args.num_additional_qgrams}|k{self.args.kmer_size}|"
-            f"s{self.args.step_size}|occ{self.config.cap_occ}|"
-            f"cc{self.config.cap_cand}|v{self.config.verify_per_read}|"
-            f"ac{self.config.accept_per_read}|p{int(self.config.use_pallas)}|"
+            f"s{self.args.step_size}|occ{tc.cap_occ}|"
+            f"cc{tc.cap_cand}|v{tc.verify_per_read}|"
+            f"ac{tc.accept_per_read}|p{int(self.config.use_pallas)}|"
             f"m{self._mesh_shape()}"
         )
         known = {}
@@ -492,7 +631,7 @@ class MappingEngine:
         import sys as _sys
 
         for nonce in order:
-            fn, verify_cap = self._make_fn(batch_size, max_len, nonce)
+            fn, verify_cap = self._make_fn(batch_size, max_len, nonce, tier)
             ms = self._probe_ms(fn, probe_args)
             print(
                 f"[fem_tpu] device program roll {nonce}: {ms:.2f} ms/batch",
@@ -515,19 +654,22 @@ class MappingEngine:
                 pass
         return best[0], best[1]
 
-    def _fn_for(self, batch_size: int, max_len: int):
-        key = (batch_size, max_len)
+    def _fn_for(self, batch_size: int, max_len: int, tier: int = 0):
+        key = (batch_size, max_len, tier)
         if key not in self._fns:
-            self._fns[key] = self._compile_with_reroll(batch_size, max_len)
+            self._fns[key] = self._compile_with_reroll(batch_size, max_len, tier)
         return self._fns[key]
 
-    def submit_batch(self, batch: ReadBatch):
+    def submit_batch(self, batch: ReadBatch, tier: int = 0):
         """Dispatch one batch to the device without blocking; pair with
         `drain_batch`. Keeping a batch in flight while the host emits the
         previous one is the TPU equivalent of the reference's reader/
-        mapper/writer thread overlap (src/FEM_map.c:174-198)."""
-        B = self.config.batch_size
+        mapper/writer thread overlap (src/FEM_map.c:174-198). `tier`
+        selects the capacity rung: 0 = the main program, >= 1 = the retry
+        ladder for reads that overflowed a smaller tier's slabs."""
+        B = self._tier(tier).batch_size
         n = batch.num_reads
+        assert n <= B, (n, B, tier)
         Lmax = batch.codes.shape[1]
         if batch.packed is not None and batch.packed.shape[0] == B:
             packed = batch.packed  # native reader already built the upload
@@ -539,23 +681,47 @@ class MappingEngine:
             packed[:n, Lmax:] = (
                 batch.lengths.astype("<i4").view(np.uint8).reshape(n, 4)
             )
-        fn, verify_cap = self._fn_for(B, Lmax)
+        fn, verify_cap = self._fn_for(B, Lmax, tier)
         if self._salt is None:
-            self._salt = jnp.uint32(0)
-        if self._device_args is not None:
-            out = fn(*self._device_args, jnp.asarray(packed), self._salt)
+            if self._cross_host:
+                from jax.sharding import PartitionSpec as P
+
+                self._salt = self._global_put(
+                    self.config.index_mesh, P(), np.uint32(0)
+                )
+            else:
+                self._salt = jnp.uint32(0)
+        if self._cross_host:
+            from jax.sharding import PartitionSpec as P
+
+            from fem_tpu.parallel.sharded_index import DATA_AXIS
+
+            dev_in = self._global_put(
+                self.config.index_mesh, P(DATA_AXIS), packed
+            )
         else:
-            out = fn(self.dindex, jnp.asarray(packed), self._salt)
+            dev_in = jnp.asarray(packed)
+        if self._device_args is not None:
+            out = fn(*self._device_args, dev_in, self._salt)
+        else:
+            out = fn(self.dindex, dev_in, self._salt)
         # Start the D2H transfer as soon as the program finishes: the
         # host<->device link pays a fixed ~8 ms per synchronous fetch, and
         # with pipeline depth >= 2 the async copy fully overlaps the
-        # previous batch's host emission.
-        if os.environ.get("FEM_TPU_NO_ASYNC_COPY", "") != "1":
+        # previous batch's host emission. (Cross-host outputs are fetched
+        # shard-wise in drain instead.)
+        if not self._cross_host and os.environ.get("FEM_TPU_NO_ASYNC_COPY", "") != "1":
             try:
                 out.copy_to_host_async()
             except AttributeError:
                 pass
-        return batch, out
+        seq = None
+        if tier == 0:
+            with self._pool_lock:
+                seq = self._seq
+                self._seq += 1
+                self._batch_state[seq] = [n, 0, False]
+        return batch, out, tier, seq
 
     def _map_read_fallback(self, name, seq, qual) -> Tuple[List[bytes], MappingStats]:
         """Exact host mapping of one read: in-process C++ mapper when
@@ -575,21 +741,93 @@ class MappingEngine:
         return self.golden.map_read(name, seq, qual)
 
     def drain_batch(self, pending) -> Tuple[List[bytes], MappingStats]:
-        batch, flat = pending
-        B = self.config.batch_size
+        if self._cross_host:
+            return self._drain_cross_host(pending)
+        return self._drain(pending, per_read=False)
+
+    def _drain_cross_host(self, pending) -> Tuple[List[bytes], MappingStats]:
+        """Drain on a mesh spanning jax.distributed processes: the program
+        all_gathered each data row's index-shard segments (gather_rows), so
+        any device in a row holds the row's complete results. This process
+        fetches only its addressable shards and emits the rows it *owns*
+        (deterministic round-robin over the processes present in each row);
+        counters cover owned reads only and allreduce at stream end
+        (fem_tpu/parallel/multihost.allreduce_stats). Overflow reads go to
+        the exact host mapper — retry tiers would require every process to
+        join each dispatch, which independent per-row overflow cannot
+        guarantee."""
+        batch, flat, tier, seq = pending
+        assert tier == 0
+        mesh = self.config.index_mesh
+        n_dp, n_ip = self._mesh_shape()
+        tc = self._tier(0)
+        B = tc.batch_size
+        Bloc = B // n_dp
+        acc_cap = max(max(2 * B * tc.accept_per_read, 64) // (n_dp * n_ip), 8)
+        seg = packed_segment_size(acc_cap, 2 * Bloc)
+        row_bytes = {}
+        for sh in flat.addressable_shards:
+            d = sh.index[0].start // (n_ip * seg)
+            if d not in row_bytes:
+                row_bytes[d] = np.asarray(sh.data)
+        me = jax.process_index()
+        records: List[bytes] = []
+        stats = MappingStats()
+        for d in sorted(row_bytes):
+            procs = sorted({dev.process_index for dev in mesh.devices[d]})
+            if procs[d % len(procs)] != me:
+                continue
+            lo = d * Bloc
+            n_row = min(max(batch.num_reads - lo, 0), Bloc)
+            if n_row == 0:
+                continue
+            out = unpack_outputs(row_bytes[d], acc_cap, 2 * Bloc, n_ip)
+            # Index shards carry identical psum'd/pmax'd per-row values.
+            sum_nc = int(out["sum_nc"][0])
+            sum_dp = int(out["sum_dp"][0])
+            fb = out["fb"][0]
+            rb = ReadBatch(
+                batch.names[lo : lo + n_row],
+                batch.seqs[lo : lo + n_row],
+                batch.quals[lo : lo + n_row],
+                batch.codes[lo : lo + n_row] if batch.codes is not None else None,
+                batch.lengths[lo : lo + n_row] if batch.lengths is not None else None,
+            )
+            fb_idx = np.flatnonzero(fb[:n_row])
+            segs, st = self._emit(
+                rb, out, sum_nc, sum_dp, fb, Bloc, fb_idx.size > 0
+            )
+            st.num_reads = n_row - int(fb_idx.size)
+            for i in fb_idx:
+                r, s = self._map_read_fallback(
+                    rb.names[i], rb.seqs[i], rb.quals[i]
+                )
+                segs[i] = r
+                st += s
+            stats += st
+            if fb_idx.size:
+                records.extend(rec for rsegs in segs for rec in rsegs)
+            else:
+                records.extend(segs)
+        if seq is not None:
+            with self._pool_lock:
+                self._batch_state[seq][2] = True
+        self._advance_watermark()
+        return records, stats
+
+    def _drain(self, pending, per_read: bool):
+        """Unpack one dispatched batch, emit its covered reads, and route
+        overflow reads (the device's per-read fallback/retry bitmap) to the
+        next capacity tier — pooled for pipelined retry in stream mode,
+        mapped synchronously otherwise (records spliced back in read
+        order). With `per_read`, returns one record list per read."""
+        batch, flat, tier, seq = pending
+        tc = self._tier(tier)
+        B = tc.batch_size
         n_dp, n_ip = self._mesh_shape()
         nseg = n_dp * n_ip
-        acc_cap = max(max(2 * B * self.config.accept_per_read, 64) // nseg, 8)
+        acc_cap = max(max(2 * B * tc.accept_per_read, 64) // nseg, 8)
         out = unpack_outputs(np.asarray(flat), acc_cap, 2 * B // n_dp, nseg)
-
-        if out["slab_overflow"].any():
-            if batch.num_reads == 1:
-                # One read exceeding the whole slab: host path handles it.
-                return self._map_read_fallback(
-                    batch.names[0], batch.seqs[0], batch.quals[0]
-                )
-            # Verify slab overflow: split and recurse (exact, just slower).
-            return self._map_batch_split(batch)
 
         # Header sums / fallback bitmap: segments are data-shard-major;
         # index shards carry identical copies (nc psum'd, dp identical,
@@ -597,10 +835,111 @@ class MappingEngine:
         sum_nc = int(out["sum_nc"].reshape(n_dp, n_ip)[:, 0].sum())
         sum_dp = int(out["sum_dp"].reshape(n_dp, n_ip)[:, 0].sum())
         fb = out["fb"].reshape(n_dp, n_ip, -1)[:, 0].reshape(-1)  # (B,) reads
-        return self._emit(batch, out, sum_nc, sum_dp, fb)
+        n = batch.num_reads
+        fb_idx = np.flatnonzero(fb[:n])
+
+        want_per_read = per_read or fb_idx.size > 0
+        segs, stats = self._emit(
+            batch, out, sum_nc, sum_dp, fb, B, want_per_read
+        )
+        # A read is counted by whichever drain finally emits it.
+        stats.num_reads = n - int(fb_idx.size)
+
+        if fb_idx.size:
+            reads = [
+                (batch.names[i], batch.seqs[i], batch.quals[i]) for i in fb_idx
+            ]
+            if tier == 0 and self._retry_pool is not None and self.tiers:
+                # Stream mode: defer to the pipelined retry pool.
+                with self._pool_lock:
+                    self._batch_state[seq][1] = int(fb_idx.size)
+                    self._retry_pool.extend(
+                        (seq, nm, sq, ql) for nm, sq, ql in reads
+                    )
+            else:
+                fb_segs, fb_stats = self._map_reads_at_tier(reads, tier + 1)
+                for i, rsegs in zip(fb_idx, fb_segs):
+                    segs[i] = rsegs
+                stats += fb_stats
+
+        origins = getattr(batch, "origin_seqs", None)
+        if origins is not None:
+            with self._pool_lock:
+                for s0 in origins:
+                    st = self._batch_state.get(s0)
+                    if st is not None:
+                        st[1] -= 1
+        if seq is not None:
+            with self._pool_lock:
+                self._batch_state[seq][2] = True
+        self._advance_watermark()
+
+        if per_read:
+            return segs, stats
+        if want_per_read:
+            return [r for rsegs in segs for r in rsegs], stats
+        return segs, stats
+
+    def _advance_watermark(self) -> None:
+        with self._pool_lock:
+            while True:
+                st = self._batch_state.get(self._watermark_seq)
+                if st is None or not st[2] or st[1] > 0:
+                    break
+                self._watermark_reads += st[0]
+                del self._batch_state[self._watermark_seq]
+                self._watermark_seq += 1
+
+    @property
+    def watermark_reads(self) -> int:
+        """Reads in the longest fully-emitted stream prefix — the safe
+        resume offset for checkpointing (deferred retries included)."""
+        return self._watermark_reads
+
+    def _subbatch(self, reads) -> ReadBatch:
+        """Build a device batch from [(name, seq, qual)] triples."""
+        from fem_tpu.core.encoding import encode
+
+        lengths = np.array([len(sq) for _, sq, _ in reads], np.int32)
+        Lmax = max(128, -(-int(lengths.max()) // 32) * 32)
+        codes = np.full((len(reads), Lmax), 4, np.uint8)
+        for i, (_, sq, _) in enumerate(reads):
+            codes[i, : len(sq)] = encode(sq)
+        return ReadBatch(
+            [nm for nm, _, _ in reads],
+            [sq for _, sq, _ in reads],
+            [ql for _, _, ql in reads],
+            codes,
+            lengths,
+        )
+
+    def _map_reads_at_tier(self, reads, tier):
+        """Exactly remap `reads` [(name, seq, qual)] at the given retry
+        tier, synchronously (the exact host mapper past the last tier).
+        Returns one record list per read + their recomputed stats."""
+        stats = MappingStats()
+        if tier > len(self.tiers):
+            per = []
+            for nm, sq, ql in reads:
+                r, s = self._map_read_fallback(nm, sq, ql)
+                per.append(r)
+                stats += s
+            return per, stats
+        with self._fallback_lock:
+            self.retried_reads += len(reads)
+        B_t = self._tier(tier).batch_size
+        per = []
+        for lo in range(0, len(reads), B_t):
+            sub = self._subbatch(reads[lo : lo + B_t])
+            segs, s = self._drain(self.submit_batch(sub, tier), per_read=True)
+            per.extend(segs[: sub.num_reads])
+            stats += s
+        return per, stats
 
     def map_batch(self, batch: ReadBatch) -> Tuple[List[bytes], MappingStats]:
-        """Map one read batch synchronously; SAM chunks in read order + stats."""
+        """Map one read batch synchronously; SAM chunks in read order
+        (capacity-overflow reads are remapped on higher tiers and their
+        records spliced back in place) + stats."""
         return self.drain_batch(self.submit_batch(batch))
 
     def map_stream(self, batches, depth: int | None = None):
@@ -612,7 +951,15 @@ class MappingEngine:
         single transfer; fetch+emit of one group overlaps the next group's
         device compute on a small thread pool (the reference's
         reader/mapper/writer thread overlap, src/FEM_map.c:174-198).
-        Results yield in submission order."""
+
+        Capacity-overflow reads from drained batches accumulate in a retry
+        pool and re-dispatch as pipelined tier-1 batches (deeper tiers run
+        synchronously inside those drains), so heavy-tailed genomes keep
+        the pipeline full instead of serializing host fallbacks. Original
+        batches yield in submission order with overflow reads' records
+        omitted; retry batches yield as extra (records, stats) items —
+        record-set and counter totals are exact, matching the reference's
+        unordered t>1 emission contract (src/FEM_map.c:182-189)."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -620,42 +967,75 @@ class MappingEngine:
         agg = self.config.aggregate_fetch or 1
         if self._mesh_shape() != (1, 1):
             agg = 1  # sharded outputs: concat would reshuffle shard layout
+        pool: list = []
+        self._retry_pool = pool
+        retry_B = self._tier(1).batch_size if self.tiers else 0
 
         def drain_group(group, flat):
             host = np.asarray(flat)
             seg = host.shape[0] // len(group)
             return [
-                self.drain_batch((b, host[i * seg : (i + 1) * seg]))
-                for i, (b, _) in enumerate(group)
+                self.drain_batch((b, host[i * seg : (i + 1) * seg], t, s))
+                for i, (b, _, t, s) in enumerate(group)
             ]
 
         q: deque = deque()
         group: list = []
-        with ThreadPoolExecutor(max_workers=max(2, depth)) as ex:
+        try:
+            with ThreadPoolExecutor(max_workers=max(2, depth)) as ex:
 
-            def flush():
-                nonlocal group
-                if len(group) == 1:
-                    q.append(ex.submit(lambda g: [self.drain_batch(g)], group[0]))
-                else:
-                    flat = self._agg_fn(len(group))(*[o for _, o in group])
-                    try:
-                        flat.copy_to_host_async()
-                    except AttributeError:
-                        pass
-                    q.append(ex.submit(drain_group, group, flat))
-                group = []
+                def flush():
+                    nonlocal group
+                    if len(group) == 1:
+                        q.append(
+                            ex.submit(lambda g: [self.drain_batch(g)], group[0])
+                        )
+                    else:
+                        flat = self._agg_fn(len(group))(
+                            *[o for _, o, _, _ in group]
+                        )
+                        try:
+                            flat.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                        q.append(ex.submit(drain_group, group, flat))
+                    group = []
 
-            for batch in batches:
-                group.append(self.submit_batch(batch))
-                if len(group) >= agg:
+                def flush_retries(min_fill: int):
+                    while True:
+                        with self._pool_lock:
+                            if len(pool) < max(min_fill, 1):
+                                return
+                            take = pool[:retry_B]
+                            del pool[:retry_B]
+                        rb = self._subbatch(
+                            [(nm, sq, ql) for _, nm, sq, ql in take]
+                        )
+                        rb.origin_seqs = [s for s, *_ in take]
+                        with self._fallback_lock:
+                            self.retried_reads += rb.num_reads
+                        pending = self.submit_batch(rb, tier=1)
+                        q.append(
+                            ex.submit(lambda p: [self.drain_batch(p)], pending)
+                        )
+
+                for batch in batches:
+                    group.append(self.submit_batch(batch))
+                    if len(group) >= agg:
+                        flush()
+                    if retry_B:
+                        flush_retries(retry_B)
+                    while len(q) > depth:
+                        yield from q.popleft().result()
+                if group:
                     flush()
-                while len(q) > depth:
-                    yield from q.popleft().result()
-            if group:
-                flush()
-            while q:
-                yield from q.popleft().result()
+                while q or pool:
+                    while q:
+                        yield from q.popleft().result()
+                    if retry_B:
+                        flush_retries(1)
+        finally:
+            self._retry_pool = None
 
     def _agg_fn(self, n: int):
         key = n
@@ -663,42 +1043,29 @@ class MappingEngine:
             self._agg_fns[key] = jax.jit(lambda *xs: jnp.concatenate(xs))
         return self._agg_fns[key]
 
-    def _map_batch_split(self, batch: ReadBatch) -> Tuple[List[bytes], MappingStats]:
-        mid = max(batch.num_reads // 2, 1)
-        recs: List[bytes] = []
-        stats = MappingStats()
-        for lo, hi in ((0, mid), (mid, batch.num_reads)):
-            if lo >= hi:
-                continue
-            sub = ReadBatch(
-                batch.names[lo:hi],
-                batch.seqs[lo:hi],
-                batch.quals[lo:hi],
-                batch.codes[lo:hi],
-                batch.lengths[lo:hi],
-            )
-            r, s = self.map_batch(sub)
-            recs.extend(r)
-            stats += s
-        return recs, stats
-
     def _emit(
         self, batch: ReadBatch, out: dict, sum_nc: int, sum_dp: int,
-        fb: np.ndarray,
-    ) -> Tuple[List[bytes], MappingStats]:
-        if self._native is not None and not fb[: batch.num_reads].any():
-            return self._emit_native(batch, out, sum_nc, sum_dp)
-        return self._emit_python(batch, out, sum_nc, sum_dp, fb)
+        fb: np.ndarray, B: int, want_per_read: bool,
+    ) -> Tuple[list, MappingStats]:
+        """Emit SAM records for the batch's covered (non-fallback) reads.
+        Returns (segs, stats): flat record chunks when `want_per_read` is
+        false, else one record-chunk list per read (empty for fb reads —
+        the retry/fallback path fills those in). `stats.num_reads` is left
+        at 0 for the caller to account."""
+        if self._native is not None:
+            return self._emit_native(batch, out, sum_nc, sum_dp, fb, B,
+                                     want_per_read)
+        return self._emit_python(batch, out, sum_nc, sum_dp, fb, B,
+                                 want_per_read)
 
     def _emit_native(
-        self, batch: ReadBatch, out: dict, sum_nc: int, sum_dp: int
-    ) -> Tuple[List[bytes], MappingStats]:
+        self, batch: ReadBatch, out: dict, sum_nc: int, sum_dp: int,
+        fb: np.ndarray, B: int, want_per_read: bool,
+    ) -> Tuple[list, MappingStats]:
         """Vectorized stats + one native call for mapping sort, traceback
         and SAM formatting (no per-read Python)."""
         n = batch.num_reads
-        B = self.config.batch_size
         stats = MappingStats(
-            num_reads=n,
             num_candidates=sum_nc,
             num_candidates_without_additional_qgram_filter=sum_dp,
         )
@@ -708,10 +1075,15 @@ class MappingEngine:
         # (src/map.c:29-49); stable sort by read id preserves exactly that.
         order = np.argsort(read_id, kind="stable")
         read_id = read_id[order]
+        # Hits of fallback/retry reads are incomplete; drop them (their
+        # reads re-emit in full at the next tier).
+        ok = ~fb[read_id]
+        order = order[ok]
+        read_id = read_id[ok]
         map_counts = np.bincount(read_id, minlength=B)[:n].astype(np.int32)
         stats.num_mappings = int(map_counts.sum())
         stats.num_mapped_reads = int((map_counts > 0).sum())
-        blob = self._native.emit(
+        res = self._native.emit(
             batch,
             map_counts,
             (a_lane[order] >= B).astype(np.uint8),
@@ -719,8 +1091,17 @@ class MappingEngine:
             a_sid[order].astype(np.int32),
             a_pos[order].astype(np.int64),
             a_end[order].astype(np.int32),
+            want_read_ends=want_per_read,
         )
-        return ([blob] if blob else []), stats
+        if want_per_read:
+            blob, ends = res
+            segs, prev = [], 0
+            for r in range(n):
+                e_ = int(ends[r])
+                segs.append([blob[prev:e_]] if e_ > prev else [])
+                prev = e_
+            return segs, stats
+        return ([res] if res else []), stats
 
     def _accepted_arrays(self, out: dict):
         """Accepted-hit arrays trimmed to true counts and stable-sorted by
@@ -747,29 +1128,22 @@ class MappingEngine:
 
     def _emit_python(
         self, batch: ReadBatch, out: dict, sum_nc: int, sum_dp: int,
-        fb: np.ndarray,
-    ) -> Tuple[List[bytes], MappingStats]:
+        fb: np.ndarray, B: int, want_per_read: bool,
+    ) -> Tuple[list, MappingStats]:
         n = batch.num_reads
-        B = self.config.batch_size
         # Device sums already cover every non-fallback read (lanes of
-        # fallback reads were masked out on device); fallback reads add
-        # their exactly-recomputed counters below.
+        # fallback/retry reads were masked out on device; those reads
+        # re-emit in full — records AND counters — at the next tier).
         stats = MappingStats(
-            num_reads=n,
             num_candidates=sum_nc,
             num_candidates_without_additional_qgram_filter=sum_dp,
         )
         a_lane, a_sid, a_pos, a_ed, a_end = self._accepted_arrays(out)
         bounds = np.searchsorted(a_lane, np.arange(2 * B + 1))
-        records: List[bytes] = []
+        segs: list = []
         for r in range(n):
             if fb[r]:
-                recs, rstats = self._map_read_fallback(
-                    batch.names[r], batch.seqs[r], batch.quals[r]
-                )
-                rstats.num_reads = 0  # already counted
-                stats += rstats
-                records.extend(recs)
+                segs.append([])
                 continue
             mappings: List[GoldenMapping] = []
             for lane in (r, r + B):  # + strand then - strand (src/map.c:29-49)
@@ -786,13 +1160,16 @@ class MappingEngine:
                     )
             stats.num_mappings += len(mappings)
             if not mappings:
+                segs.append([])
                 continue
             stats.num_mapped_reads += 1
             rc, rcod, nc, ncod = read_strands(batch.seqs[r])
-            records.extend(
+            segs.append(
                 self.golden.emit_records(
                     batch.names[r], batch.seqs[r], batch.quals[r],
                     rc, rcod, nc, ncod, mappings,
                 )
             )
-        return records, stats
+        if want_per_read:
+            return segs, stats
+        return [rec for rsegs in segs for rec in rsegs], stats

@@ -58,6 +58,55 @@ def random_genome(
     return out
 
 
+def satellite_genome(
+    length: int,
+    num_seqs: int = 1,
+    seed: int = 0,
+    satellite_fraction: float = 0.1,
+    unit_range: Tuple[int, int] = (24, 180),
+    copies_range: Tuple[int, int] = (64, 2048),
+    divergence: float = 0.003,
+    names: List[bytes] | None = None,
+) -> List[Tuple[bytes, bytes]]:
+    """Adversarial heavy-tail genome: tandem satellite arrays.
+
+    Real genomes carry satellite/alpha-repeat arrays where a short unit
+    tandem-repeats 10^2-10^5 times, so every seed of a read inside the
+    array has occurrence frequency ~ the copy number — the workload the
+    reference's unbounded k-way occurrence merge (src/filter.c:80-116)
+    absorbs naturally and a fixed-capacity device slab does not. This
+    generator overwrites `satellite_fraction` of a random genome with
+    tandem arrays (unit length and copy number drawn from the given
+    ranges, each copy at `divergence` point mutations), producing selected-
+    seed frequencies in the 10^2-10^3+ range to exercise the capacity-
+    retry ladder and, past its last tier, the exact host fallback.
+    """
+    rng = np.random.default_rng(seed)
+    out = []
+    per = length // num_seqs
+    for i in range(num_seqs):
+        codes = rng.integers(0, 4, size=per, dtype=np.int8)
+        target = int(per * satellite_fraction)
+        placed = 0
+        while placed < target:
+            u = int(rng.integers(unit_range[0], unit_range[1] + 1))
+            c = int(rng.integers(copies_range[0], copies_range[1] + 1))
+            span = min(u * c, target - placed + u, per // 4)
+            if span < 2 * u:
+                break
+            unit = rng.integers(0, 4, size=u, dtype=np.int8)
+            dst = int(rng.integers(0, per - span))
+            arr = np.tile(unit, -(-span // u))[:span]
+            muts = rng.random(span) < divergence
+            arr[muts] = rng.integers(0, 4, size=int(muts.sum()), dtype=np.int8)
+            codes[dst : dst + span] = arr
+            placed += span
+        seq = _BASES[codes.astype(np.int64)].copy()
+        name = names[i] if names else b"sat%d" % i
+        out.append((name, seq.tobytes()))
+    return out
+
+
 def write_fasta(path: str, seqs: List[Tuple[bytes, bytes]], width: int = 80) -> None:
     with open(path, "wb") as f:
         for name, seq in seqs:
