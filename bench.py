@@ -40,6 +40,7 @@ def main() -> None:
     cap_cand = int(os.environ.get("FEM_BENCH_CAP_CAND", "64"))
     verify_per_read = int(os.environ.get("FEM_BENCH_VPR", "4"))
     accept_per_read = int(os.environ.get("FEM_BENCH_APR", "1"))
+    agg = int(os.environ.get("FEM_BENCH_AGG", "4"))
     golden_sample = int(os.environ.get("FEM_BENCH_GOLDEN_SAMPLE", "300"))
 
     from fem_tpu import sim
@@ -72,27 +73,34 @@ def main() -> None:
         args, ref, index,
         EngineConfig(batch_size=batch_size, cap_occ=cap_occ, cap_cand=cap_cand,
                      verify_per_read=verify_per_read,
-                     accept_per_read=accept_per_read),
+                     accept_per_read=accept_per_read,
+                     aggregate_fetch=agg if agg > 1 else None),
     )
 
     batches = [
         _batch_from_reads(reads[i : i + batch_size])
         for i in range(0, num_reads, batch_size)
     ]
-    # Warmup / compile on the first batch.
+    # Warmup: program compile + the one-time per-process output-transfer
+    # compiles (both the single-batch and the aggregated-fetch shapes —
+    # each first sync fetch of a new result shape costs minutes through
+    # the remote service, see docs/ROADMAP.md).
     t0 = time.time()
-    recs0, stats0 = engine.map_batch(batches[0])
-    print(f"[bench] compile+first batch {time.time()-t0:.1f}s", file=sys.stderr)
-
+    n_warm = max(agg, 1)
     total = MappingStats()
-    n_records = len(recs0)
-    total += stats0
+    n_records = 0
+    for recs, stats in engine.map_stream(batches[:n_warm]):
+        n_records += len(recs)
+        total += stats
+    print(f"[bench] compile+warmup ({n_warm} batches) {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
     t0 = time.time()
-    for recs, stats in engine.map_stream(batches[1:]):
+    for recs, stats in engine.map_stream(batches[n_warm:]):
         n_records += len(recs)
         total += stats
     elapsed = time.time() - t0
-    mapped_reads = num_reads - batches[0].num_reads
+    mapped_reads = num_reads - n_warm * batch_size
     reads_per_s = mapped_reads / elapsed
     print(
         f"[bench] {mapped_reads} reads in {elapsed:.2f}s -> {reads_per_s:,.0f} reads/s"
@@ -227,21 +235,25 @@ def worker(d: str, wid: int, nworkers: int) -> None:
     index = load_index(os.path.join(d, "ref.index"))
     args = FemArgs(kmer_size=index.kmer_size, step_size=index.step_size,
                    error_threshold=e, num_additional_qgrams=1)
+    agg = int(os.environ.get("FEM_BENCH_AGG", "4"))
     engine = MappingEngine(
         args, ref, index,
         EngineConfig(batch_size=batch_size, cap_occ=cap_occ, cap_cand=cap_cand,
                      verify_per_read=verify_per_read,
-                     accept_per_read=accept_per_read),
+                     accept_per_read=accept_per_read,
+                     aggregate_fetch=agg if agg > 1 else None),
     )
     batches = [
         b for i, b in enumerate(fastx.stream_fastq_batches(
             os.path.join(d, "reads.fq"), batch_size=batch_size))
         if i % nworkers == wid
     ]
-    engine.map_batch(batches[0])  # warm (compile-cache load + first batch)
+    n_warm = max(agg, 1)  # compile-cache load + transfer-path compiles
+    for _ in engine.map_stream(batches[:n_warm]):
+        pass
     total = MappingStats()
     t0 = time.time()
-    for recs, stats in engine.map_stream(batches[1:]):
+    for recs, stats in engine.map_stream(batches[n_warm:]):
         total += stats
     dt = time.time() - t0
     print(json.dumps({"reads": total.num_reads, "seconds": dt}))

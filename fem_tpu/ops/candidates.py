@@ -173,20 +173,24 @@ def generate_candidates(
     if _stop_after == "selattr":
         return _probe(sfreq_s, start_s, off_s, lfreq_s)
 
-    # ---- occurrence gather into CAP slots (8-slot chunk aligned) -----------
-    # Each selected seed's slot span rounds up to 8 so every 8-slot chunk
-    # maps to one run of consecutive (sid, pos) pairs in the occurrence
-    # table — fetched as 2 aligned 64-byte row gathers + a pair-granular
-    # barrel shift. TPU row gathers are ~10x cheaper than element gathers
-    # (same trick as gather_windows in ops/verify.py).
+    # ---- occurrence gather into CAP slots (aligned 8-pair rows) ------------
+    # Each selected seed's occurrence run [off, off+freq) is covered by the
+    # ALIGNED 64-byte rows that contain it (ceil((off%8 + freq)/8) rows),
+    # so every 8-slot chunk is exactly ONE row gather — no second row, no
+    # barrel shift (r2 forced-fetch profiling: the old 2-gather+shift
+    # formulation cost ~15 ms per 2048-read batch; one aligned gather is
+    # ~4 ms). Pairs in a row outside the run (neighbors from adjacent
+    # hash buckets) are masked invalid; the valid set and its order are
+    # unchanged.
     assert CAP % 8 == 0, "cap_occ must be a multiple of 8"
     NCH = CAP // 8
     fc = jnp.minimum(lfreq_s, CAP + 1)  # clamp for slot math; flags overflow
-    fc8 = ((fc + 7) // 8) * 8
+    srow = off_s & 7  # start offset within the first row
+    fc8 = jnp.where(fc > 0, ((srow + fc + 7) // 8) * 8, 0)  # aligned span
     pfx8 = jnp.cumsum(fc8, axis=2) - fc8  # exclusive, 8-aligned slot space
     total_c = pfx8[..., -1] + fc8[..., -1]
     overflow_occ = total_c > CAP  # (NB, G); stricter than the exact total,
-    # which only costs a few extra host fallbacks, never wrong results.
+    # which only costs a few extra tier retries, never wrong results.
 
     c8 = jnp.arange(NCH, dtype=jnp.int32) * 8
     j_of_c = jnp.zeros((NB, G, NCH), jnp.int32)
@@ -202,33 +206,25 @@ def generate_candidates(
             out = jnp.where(j_of_c == j, arr[..., j, None], out)
         return out
 
-    within_c = c8[None, None, :] - of_seed(pfx8)
-    pair_idx = of_seed(off_s) + within_c
-    row0 = jnp.clip(pair_idx >> 3, 0, index.occ_rows.shape[0] - 2)
-    words = jnp.concatenate(
-        [
-            jnp.take(index.occ_rows, row0, axis=0),
-            jnp.take(index.occ_rows, row0 + 1, axis=0),
-        ],
-        axis=-1,
-    ).astype(jnp.uint32)  # (NB, G, NCH, 32)
-    w = pair_idx & 7  # pair offset in the first row -> word shift 2*w
-    for bit, sh in ((1, 2), (2, 4), (4, 8)):
-        shifted = jnp.concatenate(
-            [words[..., sh:], jnp.zeros(words.shape[:-1] + (sh,), jnp.uint32)],
-            axis=-1,
-        )
-        words = jnp.where((w & bit)[..., None] != 0, shifted, words)
-    sid = words[..., 0:16:2].astype(jnp.int32).reshape(NB, G, CAP)
-    pos = words[..., 1:16:2].astype(jnp.int32).reshape(NB, G, CAP)
+    within_c = c8[None, None, :] - of_seed(pfx8)  # slot offset in seed span
+    row = of_seed(off_s >> 3) + (within_c >> 3)
+    row = jnp.clip(row, 0, index.occ_rows.shape[0] - 1)
+    words = jnp.take(index.occ_rows, row, axis=0).astype(jnp.uint32)
+    sid = words[..., 0::2].astype(jnp.int32).reshape(NB, G, CAP)
+    pos = words[..., 1::2].astype(jnp.int32).reshape(NB, G, CAP)
     if _stop_after == "occgather":
         return _probe(sid, pos, overflow_occ)
 
     lane_ok = mappable[:, None] & complete  # (NB, G)
-    fc_j = of_seed(fc)
-    slot_in_run = within_c[..., None] + jnp.arange(8, dtype=jnp.int32)
+    # Slot k of chunk c holds pair (seed_first_row + within_c//8)*8 + k;
+    # it belongs to the seed's run iff within_c + k is inside
+    # [srow, srow + freq).
+    rel = within_c[..., None] + jnp.arange(8, dtype=jnp.int32)
+    srow_j = of_seed(srow)[..., None]
     slot_valid = (
-        (slot_in_run < fc_j[..., None]) & lane_ok[..., None, None]
+        (rel >= srow_j)
+        & (rel < srow_j + of_seed(fc)[..., None])
+        & lane_ok[..., None, None]
     ).reshape(NB, G, CAP)
     seed_start = jnp.broadcast_to(
         of_seed(start_s)[..., None], (NB, G, NCH, 8)
@@ -313,9 +309,9 @@ def generate_candidates(
         m_valid = m_sid != SENTINEL_SID
 
         # Greedy dedup is the one truly sequential piece; amortize the
-        # scan's per-step overhead by consuming 8 elements per step.
+        # scan's per-step overhead by consuming 16 elements per step.
         M = m_sid.shape[1]
-        CH = 8
+        CH = 16
         pad = (-M) % CH
         if pad:
             m_sid_p = jnp.pad(m_sid, ((0, 0), (0, pad)), constant_values=SENTINEL_SID)

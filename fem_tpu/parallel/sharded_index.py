@@ -318,8 +318,11 @@ def make_index_sharded_map_fn(
         seg = pack_outputs(out)
         if gather_rows:
             # Row-complete results on every device of the row: one
-            # all_gather over the index axis (ICI/DCN), n_ip segments each.
-            seg = jax.lax.all_gather(seg, INDEX_AXIS, axis=0).reshape(-1)
+            # all_gather over the index axis (ICI/DCN), n_ip segments each
+            # (segments are (rows, 128) u32 tiles; keep that shape).
+            seg = jax.lax.all_gather(seg, INDEX_AXIS, axis=0).reshape(
+                -1, seg.shape[-1]
+            )
         return seg
 
     fn = jax.shard_map(

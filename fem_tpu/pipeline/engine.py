@@ -61,6 +61,14 @@ class EngineConfig:
     # link) dominates; prefer a bigger batch_size, which amortizes the
     # same fixed costs inside one program.
     use_pallas: bool | None = None  # None = auto (TPU only)
+    serialize_dispatch: bool | None = None  # None = auto (on for TPU).
+    # The tunneled TPU runtime drops into a ~160 ms/dispatch slow mode the
+    # moment TWO device operations are in flight (dispatch+dispatch,
+    # dispatch+fetch, even dispatch+async-copy), while one-at-a-time
+    # dispatch+block+fetch costs ~35 ms/batch at B=8192 (r2 measurements,
+    # tools/link_probe.py). Serialized mode performs every device op under
+    # one lock on the calling thread and hands finished HOST buffers to
+    # the emit thread pool — host emission still overlaps the next batch.
     mesh: object | None = None  # jax.sharding.Mesh for multi-chip data parallelism
     index_mesh: object | None = None  # 2D ('data','index') Mesh: reads data-
     # parallel + coordinate-sharded index (GRCh38-scale genomes)
@@ -168,29 +176,26 @@ def map_core(
     }
 
 
-def _le_bytes(x: jnp.ndarray, dtype) -> jnp.ndarray:
-    """Flatten an integer array to little-endian bytes of `dtype` width."""
-    x = x.astype(dtype)
-    if dtype == jnp.uint8:
-        return x.reshape(-1)
-    return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
-
-
 def pack_outputs(out: dict) -> jnp.ndarray:
-    """Fuse all mapping outputs into one uint8 vector. The host<->device
-    link is a tunneled ~12-25 MB/s channel with ~25 ms fixed cost per
-    synchronous fetch, so the result payload is aggressively packed:
-    per-hit fields travel at their natural widths (pos u32, lane/sid/end
-    u16, ed u8 = 11 B/hit), per-lane counters collapse to on-device masked
-    sums (lanes of fallback reads excluded — the host recomputes those
-    reads exactly), and fallback flags travel as a per-read bitmap.
+    """Fuse all mapping outputs into one uint32 vector.
 
-    Layout per shard segment:
-      [0:24)  header: n_accepted, slab_overflow, total_candidates,
-              sum_nc, dp_lo16, dp_hi16 (u32 LE each; dp sums split 16/16
-              so 2^32 lane-sum overflow is impossible)
-      [24:)   a_pos (4A) | a_lane (2A) | a_sid (2A) | a_end (2A) |
-              a_ed (A) | fallback bitmap (ceil(B/8))
+    Two constraints shape this (r2 measurements, docs/ROADMAP.md): the
+    tunneled link pays ~28 ms fixed per fetch RPC, so everything travels
+    in ONE buffer; and CONSUMING a program output whose layout needs a
+    device-side relayout costs ~230 ms per consumption — sub-word (u8/
+    u16) bitcast-and-concat outputs trigger exactly that, so every field
+    is packed into natural u32 words instead (12 B/hit): per-hit pos,
+    (lane<<16|sid), (ed<<16|end); per-lane counters collapse to on-device
+    masked sums (lanes of fallback reads excluded — those reads are
+    remapped in full at a higher tier), fallback flags travel as a
+    per-read bitmap in u32 words.
+
+    Layout per shard segment (uint32 words):
+      [0:6)   header: n_accepted, slab_overflow, total_candidates,
+              sum_nc, dp_lo16, dp_hi16 (dp sums split 16/16 so 2^32
+              lane-sum overflow is impossible)
+      [6:)    a_pos (A) | a_lane<<16|a_sid (A) | a_ed<<16|a_end (A) |
+              fallback bitmap (ceil(B/32))
     """
     NB = out["num_candidates"].shape[0]
     B = NB // 2
@@ -213,26 +218,47 @@ def pack_outputs(out: dict) -> jnp.ndarray:
             dp_hi,
         ]
     )
-    pad = (-B) % 8
-    fb_bits = jnp.concatenate([fb_read, jnp.zeros((pad,), bool)]).reshape(-1, 8)
-    fb_bytes = jnp.sum(
-        fb_bits.astype(jnp.uint8) << jnp.arange(8, dtype=jnp.uint8), axis=1
-    ).astype(jnp.uint8)
-    return jnp.concatenate(
-        [
-            _le_bytes(header, jnp.uint32),
-            _le_bytes(out["a_pos"], jnp.uint32),
-            _le_bytes(out["a_lane"], jnp.uint16),
-            _le_bytes(out["a_sid"], jnp.uint16),
-            _le_bytes(out["a_end"], jnp.uint16),
-            _le_bytes(out["a_ed"], jnp.uint8),
-            fb_bytes,
-        ]
+    pad = (-B) % 32
+    fb_bits = jnp.concatenate([fb_read, jnp.zeros((pad,), bool)]).reshape(-1, 32)
+    fb_words = jnp.sum(
+        fb_bits.astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32), axis=1
+    ).astype(jnp.uint32)
+    lane_sid = (
+        (out["a_lane"].astype(jnp.uint32) << 16)
+        | (out["a_sid"].astype(jnp.uint32) & 0xFFFF)
     )
+    ed_end = (
+        (out["a_ed"].astype(jnp.uint32) << 16)
+        | (out["a_end"].astype(jnp.uint32) & 0xFFFF)
+    )
+    vec = jnp.concatenate(
+        [header, out["a_pos"].astype(jnp.uint32), lane_sid, ed_end, fb_words]
+    )
+    # Native-tile-shaped output: TPU buffers are (8, 128)-tiled, so a
+    # (rows, 128) u32 result linearizes to host bytes with a trivial
+    # relayout. (A 1-D output makes the runtime refit the program with an
+    # output-linearization step on first fetch.) Padding rule must match
+    # packed_segment_size.
+    size = -(-vec.shape[0] // 1024) * 1024
+    vec = jnp.concatenate(
+        [vec, jnp.zeros((size - vec.shape[0],), jnp.uint32)]
+    )
+    return vec.reshape(-1, 128)
+
+
+def _fb_len(NB: int) -> int:
+    return (NB // 2 + 31) // 32
+
+
+def packed_segment_words(acc_cap: int, NB: int) -> int:
+    """True payload length in uint32 words."""
+    return 6 + 3 * acc_cap + _fb_len(NB)
 
 
 def packed_segment_size(acc_cap: int, NB: int) -> int:
-    return 24 + 11 * acc_cap + (NB // 2 + 7) // 8
+    """Padded per-segment element count: rows of 128 u32 words, rows a
+    multiple of 8 (one full native tile)."""
+    return -(-packed_segment_words(acc_cap, NB) // 1024) * 1024
 
 
 def unpack_outputs(flat: np.ndarray, acc_cap: int, NB: int, nshards: int) -> dict:
@@ -240,29 +266,30 @@ def unpack_outputs(flat: np.ndarray, acc_cap: int, NB: int, nshards: int) -> dic
     concatenation of per-shard packed segments. Arrays come back
     per-segment-concatenated; header sums come back per segment."""
     B = NB // 2
-    fb_bytes = (B + 7) // 8
+    fb_words = (B + 31) // 32
     seg = packed_segment_size(acc_cap, NB)
+    w = packed_segment_words(acc_cap, NB)
+    flat = np.ascontiguousarray(flat, dtype=np.uint32).reshape(-1)
     assert flat.shape[0] == seg * nshards, (flat.shape, seg, nshards)
-    parts = [flat[i * seg : (i + 1) * seg] for i in range(nshards)]
+    parts = [flat[i * seg : i * seg + w] for i in range(nshards)]
 
-    def field(lo, nbytes, dtype):
-        return [p[lo : lo + nbytes].view(dtype) for p in parts]
-
-    headers = np.stack([p[:24].view("<u4") for p in parts])  # (nshards, 6)
-    o = 24
-    a_pos = np.concatenate(field(o, 4 * acc_cap, "<u4")).astype(np.int64)
-    o += 4 * acc_cap
-    a_lane = np.concatenate(field(o, 2 * acc_cap, "<u2")).astype(np.int64)
-    o += 2 * acc_cap
-    a_sid = np.concatenate(field(o, 2 * acc_cap, "<u2")).astype(np.int64)
-    o += 2 * acc_cap
-    a_end = np.concatenate(field(o, 2 * acc_cap, "<u2")).astype(np.int64)
-    o += 2 * acc_cap
-    a_ed = np.concatenate(field(o, acc_cap, np.uint8)).astype(np.int64)
+    headers = np.stack([p[:6] for p in parts])  # (nshards, 6)
+    o = 6
+    a_pos = np.concatenate([p[o : o + acc_cap] for p in parts]).astype(np.int64)
+    o += acc_cap
+    lane_sid = np.concatenate([p[o : o + acc_cap] for p in parts])
+    a_lane = (lane_sid >> 16).astype(np.int64)
+    a_sid = (lane_sid & 0xFFFF).astype(np.int64)
+    o += acc_cap
+    ed_end = np.concatenate([p[o : o + acc_cap] for p in parts])
+    a_ed = (ed_end >> 16).astype(np.int64)
+    a_end = (ed_end & 0xFFFF).astype(np.int64)
     o += acc_cap
     fb = np.stack(
         [
-            np.unpackbits(p[o : o + fb_bytes], bitorder="little")[:B]
+            np.unpackbits(
+                p[o : o + fb_words].view(np.uint8), bitorder="little"
+            )[:B]
             for p in parts
         ]
     ).astype(bool)  # (nshards, B)
@@ -334,6 +361,14 @@ class MappingEngine:
         self.dindex = device_index_from_host(index, reference)
         if self.config.use_pallas is None:
             self.config.use_pallas = jax.devices()[0].platform == "tpu"
+        if self.config.serialize_dispatch is None:
+            env = os.environ.get("FEM_TPU_SERIALIZE_DISPATCH")
+            if env is not None:
+                self.config.serialize_dispatch = env == "1"
+            else:
+                self.config.serialize_dispatch = (
+                    jax.devices()[0].platform == "tpu"
+                )
         self._fns: Dict[Tuple[int, int, int], callable] = {}
         self._agg_fns: Dict[int, callable] = {}
         self._on_tpu = jax.devices()[0].platform == "tpu"
@@ -341,6 +376,7 @@ class MappingEngine:
         import threading
 
         self._fallback_lock = threading.Lock()
+        self._device_lock = threading.Lock()  # serialize_dispatch mode
         self.fallback_reads = 0
         # Capacity-retry ladder (tier 0 = the EngineConfig caps themselves).
         if self.config.tiers is None:
@@ -532,39 +568,56 @@ class MappingEngine:
             )
         return fn, verify_cap
 
-    def _probe_args(self, batch_size: int, max_len: int):
-        """A synthetic batch for compile-quality probing: the program is
-        shape-specialized and its cost is data-independent (fixed-capacity
-        slabs, sorts, scans), so all-N reads time it faithfully."""
-        packed = np.full((batch_size, max_len + 4), 4, np.uint8)
-        packed[:, max_len:] = (
-            np.full((batch_size,), max_len, "<i4").view(np.uint8).reshape(-1, 4)
-        )
-        if self._device_args is not None:
-            return (*self._device_args, jnp.asarray(packed))
-        return (self.dindex, jnp.asarray(packed))
+    def _probe_args(self, batch_size: int, max_len: int, iters: int = 4):
+        """Synthetic batches for compile-quality probing. Two r2 findings
+        shape this (both made r1 ship a pathological compile):
+          * execution cost is strongly data-dependent through gather
+            locality — all-N reads hash to one bucket, so every
+            freq/occ/window gather hits the same HBM rows and a bad
+            compile still probes fast; random base codes scatter the
+            gathers like real data;
+          * the runtime serves repeated (program, input-value) pairs from
+            a cache, so every timed call needs a DISTINCT batch."""
+        rng = np.random.default_rng(0xFE11)
+        out = []
+        for _ in range(iters):
+            packed = np.empty((batch_size, max_len + 4), np.uint8)
+            packed[:, :max_len] = rng.integers(
+                0, 4, (batch_size, max_len), np.uint8
+            )
+            packed[:, max_len:] = (
+                np.full((batch_size,), max_len, "<i4")
+                .view(np.uint8)
+                .reshape(-1, 4)
+            )
+            if self._device_args is not None:
+                out.append((*self._device_args, jnp.asarray(packed)))
+            else:
+                out.append((self.dindex, jnp.asarray(packed)))
+        return out
 
     @staticmethod
-    def _probe_ms(fn, args, iters: int = 6) -> float:
-        """Per-dispatch time of a compiled program, measured with CHAINED
-        dispatches: each call's salt consumes the previous output, so the
-        runtime cannot elide or overlap executions and blocking on the last
-        forces the whole chain (async dispatch otherwise hides them)."""
+    def _probe_ms(fn, args_list) -> float:
+        """Per-dispatch time of a compiled program: one call at a time on a
+        distinct input batch, FETCHED before the next. The tunneled
+        runtime is lazy (a blocked-but-unconsumed output may never
+        execute) and value-caches repeated (program, input) pairs, so
+        only fetch-per-call on distinct batches measures real execution.
+        NOTE: the first fetch of a program's output shape pays a one-time
+        transfer compile (minutes for the map program) — the warm call
+        here absorbs it, which is also what makes re-rolls expensive;
+        keep FEM_TPU_COMPILE_ROLLS modest."""
         import time
 
-        def chain(out):
-            flat = out if isinstance(out, jnp.ndarray) else out[0]
-            return flat.reshape(-1)[0].astype(jnp.uint32) & jnp.uint32(0)
-
-        out = fn(*args, jnp.uint32(0))
-        jax.block_until_ready(out)
-        salt = chain(out)
+        salt = jnp.uint32(0)
+        # Warm on the last batch; time the others (a repeat of the warm
+        # batch would be served from the value cache).
+        np.asarray(fn(*args_list[-1], salt))
+        timed = args_list[:-1]
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args, salt)
-            salt = chain(out)
-        jax.block_until_ready(salt)
-        return (time.perf_counter() - t0) / iters * 1e3
+        for args in timed:
+            np.asarray(fn(*args, salt))
+        return (time.perf_counter() - t0) / len(timed) * 1e3
 
     def _compile_with_reroll(self, batch_size: int, max_len: int, tier: int = 0):
         """Compile the device program, probe it, and re-roll bad compiles.
@@ -597,7 +650,7 @@ class MappingEngine:
             // (n_dp * n_ip),
             8,
         )
-        seg_kb = packed_segment_size(acc_cap, 2 * batch_size // n_dp) / 1024
+        seg_kb = packed_segment_size(acc_cap, 2 * batch_size // n_dp) * 4 / 1024
         default_ms = 28.0 + 3.0 * batch_size / 2048 + seg_kb / 10.0
         threshold = float(
             os.environ.get("FEM_TPU_COMPILE_THRESHOLD_MS", default_ms)
@@ -626,7 +679,7 @@ class MappingEngine:
         if key in known:
             n0 = int(known[key])
             order = [n0] + [n for n in order if n != n0]
-        probe_args = self._probe_args(batch_size, max_len)
+        probe_args = self._probe_args(batch_size, max_len, iters=4)
         best = None
         import sys as _sys
 
@@ -699,6 +752,22 @@ class MappingEngine:
             dev_in = self._global_put(
                 self.config.index_mesh, P(DATA_AXIS), packed
             )
+        elif self.config.serialize_dispatch:
+            # Serialized mode: ALL device traffic (H2D, dispatch, block,
+            # D2H) happens one-at-a-time under the device lock — a second
+            # in-flight operation trips the tunneled runtime into its
+            # ~160 ms/dispatch mode (see EngineConfig.serialize_dispatch).
+            # The output stays on device (drain or an aggregate flush
+            # fetches it under the same lock — one ~30 ms fetch RPC can
+            # cover several batches).
+            with self._device_lock:
+                dev_in = jnp.asarray(packed)
+                if self._device_args is not None:
+                    out = fn(*self._device_args, dev_in, self._salt)
+                else:
+                    out = fn(self.dindex, dev_in, self._salt)
+                jax.block_until_ready(out)
+            return self._register_pending(batch, out, tier)
         else:
             dev_in = jnp.asarray(packed)
         if self._device_args is not None:
@@ -715,12 +784,15 @@ class MappingEngine:
                 out.copy_to_host_async()
             except AttributeError:
                 pass
+        return self._register_pending(batch, out, tier)
+
+    def _register_pending(self, batch, out, tier):
         seq = None
         if tier == 0:
             with self._pool_lock:
                 seq = self._seq
                 self._seq += 1
-                self._batch_state[seq] = [n, 0, False]
+                self._batch_state[seq] = [batch.num_reads, 0, False]
         return batch, out, tier, seq
 
     def _map_read_fallback(self, name, seq, qual) -> Tuple[List[bytes], MappingStats]:
@@ -765,11 +837,12 @@ class MappingEngine:
         Bloc = B // n_dp
         acc_cap = max(max(2 * B * tc.accept_per_read, 64) // (n_dp * n_ip), 8)
         seg = packed_segment_size(acc_cap, 2 * Bloc)
+        rows_per_d = n_ip * seg // 128  # segments are (rows, 128) u32 tiles
         row_bytes = {}
         for sh in flat.addressable_shards:
-            d = sh.index[0].start // (n_ip * seg)
+            d = sh.index[0].start // rows_per_d
             if d not in row_bytes:
-                row_bytes[d] = np.asarray(sh.data)
+                row_bytes[d] = np.asarray(sh.data).reshape(-1)
         me = jax.process_index()
         records: List[bytes] = []
         stats = MappingStats()
@@ -827,7 +900,13 @@ class MappingEngine:
         n_dp, n_ip = self._mesh_shape()
         nseg = n_dp * n_ip
         acc_cap = max(max(2 * B * tc.accept_per_read, 64) // nseg, 8)
-        out = unpack_outputs(np.asarray(flat), acc_cap, 2 * B // n_dp, nseg)
+        if not isinstance(flat, np.ndarray):
+            if self.config.serialize_dispatch:
+                with self._device_lock:  # fetch is a device op too
+                    flat = np.asarray(flat)
+            else:
+                flat = np.asarray(flat)
+        out = unpack_outputs(flat, acc_cap, 2 * B // n_dp, nseg)
 
         # Header sums / fallback bitmap: segments are data-shard-major;
         # index shards carry identical copies (nc psum'd, dp identical,
@@ -967,12 +1046,14 @@ class MappingEngine:
         agg = self.config.aggregate_fetch or 1
         if self._mesh_shape() != (1, 1):
             agg = 1  # sharded outputs: concat would reshuffle shard layout
+        # (In serialize_dispatch mode aggregation is the main lever: one
+        # ~30 ms fetch RPC covers `agg` batches.)
         pool: list = []
         self._retry_pool = pool
         retry_B = self._tier(1).batch_size if self.tiers else 0
 
         def drain_group(group, flat):
-            host = np.asarray(flat)
+            host = np.asarray(flat).reshape(-1)
             seg = host.shape[0] // len(group)
             return [
                 self.drain_batch((b, host[i * seg : (i + 1) * seg], t, s))
@@ -990,6 +1071,13 @@ class MappingEngine:
                         q.append(
                             ex.submit(lambda g: [self.drain_batch(g)], group[0])
                         )
+                    elif self.config.serialize_dispatch:
+                        with self._device_lock:
+                            flat = self._agg_fn(len(group))(
+                                *[o for _, o, _, _ in group]
+                            )
+                            flat = np.asarray(flat)  # one fetch, agg batches
+                        q.append(ex.submit(drain_group, group, flat))
                     else:
                         flat = self._agg_fn(len(group))(
                             *[o for _, o, _, _ in group]

@@ -106,19 +106,14 @@ def main() -> None:
         f"{index.lookup.nbytes/1e6:.0f} Mb"
     )
 
-    from fem_tpu.parallel.sharded_index import build_sharded_index, partition_ranges
+    from fem_tpu.parallel.sharded_index import partition_ranges
 
-    t = time.time()
     ranges = partition_ranges(lengths, args.shards)
     for s, pieces in enumerate(ranges):
         span = sum(e - b for _, b, e in pieces)
         log(f"  shard {s}: {len(pieces)} pieces, {span/1e6:.0f} Mb")
-    sh = build_sharded_index(index, ref, args.shards)
-    log(
-        f"sharded index built in {time.time()-t:.0f}s: occ_rows "
-        f"{sh.occ_rows.nbytes/1e9:.2f} Gb stacked, ref {sh.ref_flat.nbytes/1e9:.2f} Gb"
-    )
-    del sh  # the engine rebuilds it; this pass validated standalone memory
+    # (The engine builds the 8-shard ShardedIndex itself — occ_rows ~8 GB
+    # stacked + ref slices ~3 GB; the placement log line below covers it.)
 
     from jax.sharding import Mesh
 

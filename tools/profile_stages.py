@@ -101,8 +101,10 @@ def main() -> None:
     use_pallas = jax.devices()[0].platform == "tpu"
 
     # Distinct input buffers per dispatch: identical (program, args) pairs
-    # can be served from an executor-side cache, reading as ~0 ms/call.
-    KBUF = 8
+    # can be served from an executor-side cache, reading as ~0 ms/call —
+    # so EVERY timed dispatch gets its own buffer (r2 finding: 8 rotating
+    # buffers still let 60% of calls hit the cache, corrupting the deltas).
+    KBUF = args.iters + 1
     codes_v = [jnp.asarray(np.roll(codes_np, k, axis=0)) for k in range(KBUF)]
     lengths = jnp.asarray(lengths_np.astype(np.int32))
 
@@ -139,20 +141,21 @@ def main() -> None:
 
         return jax.jit(body)
 
-    # Timing methodology (hard-won): the runtime demand-schedules the
-    # buffers you await, so blocking on only the LAST of N independent
-    # dispatches measures ~one execution. Burst-dispatch and block on ALL
-    # outputs — that forces every execution and amortizes link latency.
+    # Timing methodology (r2, 3rd revision — supersedes everything): the
+    # runtime is LAZY: block_until_ready alone does not force execution
+    # (dropped outputs never run), and repeated (program, input-value)
+    # pairs are served from a value cache. The only trustworthy timing is
+    # np.asarray(output) per call with a DISTINCT input buffer each call;
+    # the scalar checksum output keeps the fetch itself ~free.
     results = {}
     for stop in stages:
         fn = prefix(stop)
         t0 = time.time()
-        out = fn(dindex, codes_v[0], lengths)
-        jax.block_until_ready(out)
+        np.asarray(fn(dindex, codes_v[0], lengths))
         compile_s = time.time() - t0
         t0 = time.time()
-        outs = [fn(dindex, codes_v[i % KBUF], lengths) for i in range(args.iters)]
-        jax.block_until_ready(outs)
+        for i in range(1, args.iters + 1):  # buffer 0 was the warm call
+            np.asarray(fn(dindex, codes_v[i], lengths))
         per = (time.time() - t0) / args.iters * 1e3
         results[stop] = per
         print(f"[prof] {stop:10s} {per:8.2f} ms/call  (compile+1st {compile_s:.1f}s)",
