@@ -36,11 +36,15 @@ def main() -> None:
     batch_size = int(os.environ.get("FEM_BENCH_BATCH", "8192"))
     e = int(os.environ.get("FEM_BENCH_E", "5"))
     repeat_fraction = float(os.environ.get("FEM_BENCH_REPEATS", "0.3"))
-    cap_occ = int(os.environ.get("FEM_BENCH_CAP_OCC", "64"))
+    # cap_occ 80: the aligned occurrence fetch rounds each selected seed's
+    # span to whole 8-pair rows (e=5: 7 seeds -> >=56 slots + crossing
+    # slack), so 64 exact-fit slots now overflow ~9% of reads into tier
+    # retries; 80 covers the alignment slack.
+    cap_occ = int(os.environ.get("FEM_BENCH_CAP_OCC", "80"))
     cap_cand = int(os.environ.get("FEM_BENCH_CAP_CAND", "64"))
     verify_per_read = int(os.environ.get("FEM_BENCH_VPR", "4"))
     accept_per_read = int(os.environ.get("FEM_BENCH_APR", "1"))
-    agg = int(os.environ.get("FEM_BENCH_AGG", "4"))
+    agg = int(os.environ.get("FEM_BENCH_AGG", "0"))
     golden_sample = int(os.environ.get("FEM_BENCH_GOLDEN_SAMPLE", "300"))
 
     from fem_tpu import sim
@@ -220,7 +224,11 @@ def worker(d: str, wid: int, nworkers: int) -> None:
     JSON line {reads, seconds} of steady-state mapping time."""
     batch_size = int(os.environ.get("FEM_BENCH_BATCH", "8192"))
     e = int(os.environ.get("FEM_BENCH_E", "5"))
-    cap_occ = int(os.environ.get("FEM_BENCH_CAP_OCC", "64"))
+    # cap_occ 80: the aligned occurrence fetch rounds each selected seed's
+    # span to whole 8-pair rows (e=5: 7 seeds -> >=56 slots + crossing
+    # slack), so 64 exact-fit slots now overflow ~9% of reads into tier
+    # retries; 80 covers the alignment slack.
+    cap_occ = int(os.environ.get("FEM_BENCH_CAP_OCC", "80"))
     cap_cand = int(os.environ.get("FEM_BENCH_CAP_CAND", "64"))
     verify_per_read = int(os.environ.get("FEM_BENCH_VPR", "4"))
     accept_per_read = int(os.environ.get("FEM_BENCH_APR", "1"))
@@ -235,7 +243,7 @@ def worker(d: str, wid: int, nworkers: int) -> None:
     index = load_index(os.path.join(d, "ref.index"))
     args = FemArgs(kmer_size=index.kmer_size, step_size=index.step_size,
                    error_threshold=e, num_additional_qgrams=1)
-    agg = int(os.environ.get("FEM_BENCH_AGG", "4"))
+    agg = int(os.environ.get("FEM_BENCH_AGG", "0"))
     engine = MappingEngine(
         args, ref, index,
         EngineConfig(batch_size=batch_size, cap_occ=cap_occ, cap_cand=cap_cand,

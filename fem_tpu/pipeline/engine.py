@@ -61,14 +61,14 @@ class EngineConfig:
     # link) dominates; prefer a bigger batch_size, which amortizes the
     # same fixed costs inside one program.
     use_pallas: bool | None = None  # None = auto (TPU only)
-    serialize_dispatch: bool | None = None  # None = auto (on for TPU).
-    # The tunneled TPU runtime drops into a ~160 ms/dispatch slow mode the
-    # moment TWO device operations are in flight (dispatch+dispatch,
-    # dispatch+fetch, even dispatch+async-copy), while one-at-a-time
-    # dispatch+block+fetch costs ~35 ms/batch at B=8192 (r2 measurements,
-    # tools/link_probe.py). Serialized mode performs every device op under
-    # one lock on the calling thread and hands finished HOST buffers to
-    # the emit thread pool — host emission still overlaps the next batch.
+    serialize_dispatch: bool | None = None  # None = off (opt in via
+    # FEM_TPU_SERIALIZE_DISPATCH=1). Serialized mode performs every device
+    # op one-at-a-time under a lock and hands finished host buffers to the
+    # emit threads. Measured on the tunneled v5e: the async pipeline wins
+    # (~167 ms/batch ~= pure execution at B=8192; serialized+aggregated
+    # ~279 ms/batch — execution is the wall and async overlaps transfers
+    # and emit with it), so this exists for experiments and for runtimes
+    # where concurrent dispatch misbehaves.
     mesh: object | None = None  # jax.sharding.Mesh for multi-chip data parallelism
     index_mesh: object | None = None  # 2D ('data','index') Mesh: reads data-
     # parallel + coordinate-sharded index (GRCh38-scale genomes)
@@ -362,13 +362,9 @@ class MappingEngine:
         if self.config.use_pallas is None:
             self.config.use_pallas = jax.devices()[0].platform == "tpu"
         if self.config.serialize_dispatch is None:
-            env = os.environ.get("FEM_TPU_SERIALIZE_DISPATCH")
-            if env is not None:
-                self.config.serialize_dispatch = env == "1"
-            else:
-                self.config.serialize_dispatch = (
-                    jax.devices()[0].platform == "tpu"
-                )
+            self.config.serialize_dispatch = (
+                os.environ.get("FEM_TPU_SERIALIZE_DISPATCH") == "1"
+            )
         self._fns: Dict[Tuple[int, int, int], callable] = {}
         self._agg_fns: Dict[int, callable] = {}
         self._on_tpu = jax.devices()[0].platform == "tpu"
@@ -485,8 +481,8 @@ class MappingEngine:
             batch_size=align(min(c.batch_size, 512)),
             cap_occ=cap8(max(8 * c.cap_occ, 512)),
             cap_cand=cap8(max(8 * c.cap_cand, 512)),
-            verify_per_read=max(8 * c.verify_per_read, 64),
-            accept_per_read=max(8 * c.accept_per_read, 32),
+            verify_per_read=max(4 * c.verify_per_read, 32),
+            accept_per_read=max(4 * c.accept_per_read, 16),
         )
         t2 = TierConfig(
             batch_size=align(min(c.batch_size, 64)),
@@ -629,7 +625,12 @@ class MappingEngine:
         compilation cache for an independent roll. The winning nonce is
         remembered in a sidecar file so later processes load the good
         artifact directly."""
-        rolls = int(os.environ.get("FEM_TPU_COMPILE_ROLLS", "4"))
+        # r2 forced-fetch probes measured nonces 0-3 within 1% of each
+        # other at the bench shape — r1's "compile lottery" was a lazy-
+        # runtime measurement artifact, so re-rolling is off by default
+        # (each roll costs a compile + a multi-minute first-fetch transfer
+        # warm). FEM_TPU_COMPILE_ROLLS>1 re-enables probing.
+        rolls = int(os.environ.get("FEM_TPU_COMPILE_ROLLS", "1"))
         on_tpu = jax.devices()[0].platform == "tpu"
         mesh = self.config.index_mesh or self.config.mesh
         crosses_hosts = mesh is not None and any(

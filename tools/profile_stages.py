@@ -46,9 +46,9 @@ STAGES = [
 ]
 
 
-def build_workload():
+def build_workload(B=2048):
     os.makedirs(CACHE, exist_ok=True)
-    npz = os.path.join(CACHE, "workload.npz")
+    npz = os.path.join(CACHE, f"workload{B}.npz")
     ixp = os.path.join(CACHE, "ref.index")
     fap = os.path.join(CACHE, "ref.fa")
     from fem_tpu import sim
@@ -63,7 +63,7 @@ def build_workload():
         ref = fastx.read_fasta(fap)
         index = build_index(ref, 12, 3)
         save_index(index, ixp)
-        reads = sim.simulate_reads(seqs, 2048, read_length=100, max_errors=3, seed=9)
+        reads = sim.simulate_reads(seqs, B, read_length=100, max_errors=3, seed=9)
         from tests.test_engine import _batch_from_reads
 
         batch = _batch_from_reads(reads)
@@ -80,6 +80,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--e", type=int, default=5)
     ap.add_argument("--cap", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--vpr", type=int, default=16)
     ap.add_argument("--stages", type=str, default=",".join(STAGES))
     args = ap.parse_args()
     stages = args.stages.split(",")
@@ -90,14 +92,14 @@ def main() -> None:
     from fem_tpu.ops.types import FilterParams, device_index_from_host
     from fem_tpu.pipeline.engine import map_core, pack_outputs
 
-    ref, index, codes_np, lengths_np = build_workload()
+    ref, index, codes_np, lengths_np = build_workload(args.batch)
     dindex = device_index_from_host(index, ref)
     fa = FemArgs(error_threshold=args.e, num_additional_qgrams=1)
     params = FilterParams.from_args(
         fa, codes_np.shape[1], cap_occ=args.cap, cap_cand=args.cap
     )
     B = codes_np.shape[0]
-    verify_cap = 2 * B * 16
+    verify_cap = 2 * B * args.vpr
     use_pallas = jax.devices()[0].platform == "tpu"
 
     # Distinct input buffers per dispatch: identical (program, args) pairs
