@@ -1,6 +1,15 @@
 """Bisect which structural feature of the engine's device program triggers
 the pathological compile (profiler-style scalar-output programs compile to
 ~0.2 ms; the engine's program compiles to ~40 ms for identical compute)."""
+# =============================================================================
+# WARNING (r2): this tool predates the corrected runtime model and its
+# numbers are NOT trustworthy — the tunneled runtime lazily skips
+# unconsumed dispatches and value-caches repeated inputs, so burst/block
+# timing measures ~nothing. Use forced-fetch timing (np.asarray of a
+# value derived from the output, distinct inputs per call) as in
+# tools/profile_stages.py / tools/link_probe.py. See docs/ROADMAP.md.
+# =============================================================================
+
 
 import os
 import sys

@@ -1,6 +1,15 @@
 """Microbench: lax.sort variants vs a hand-rolled bitonic network on the
 candidate-filter shapes ((NB*G, 64) two-key sort and (NB, 128) dedup sort).
 """
+# =============================================================================
+# WARNING (r2): this tool predates the corrected runtime model and its
+# numbers are NOT trustworthy — the tunneled runtime lazily skips
+# unconsumed dispatches and value-caches repeated inputs, so burst/block
+# timing measures ~nothing. Use forced-fetch timing (np.asarray of a
+# value derived from the output, distinct inputs per call) as in
+# tools/profile_stages.py / tools/link_probe.py. See docs/ROADMAP.md.
+# =============================================================================
+
 
 import os
 import sys

@@ -6,6 +6,15 @@ Builds the real pipeline inputs, materializes the exact sort operands
   b) the full prefix with an optimization_barrier before the sort
   c) the full prefix as-is (control)
 """
+# =============================================================================
+# WARNING (r2): this tool predates the corrected runtime model and its
+# numbers are NOT trustworthy — the tunneled runtime lazily skips
+# unconsumed dispatches and value-caches repeated inputs, so burst/block
+# timing measures ~nothing. Use forced-fetch timing (np.asarray of a
+# value derived from the output, distinct inputs per call) as in
+# tools/profile_stages.py / tools/link_probe.py. See docs/ROADMAP.md.
+# =============================================================================
+
 
 import os
 import sys
