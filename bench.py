@@ -36,13 +36,15 @@ def main() -> None:
     batch_size = int(os.environ.get("FEM_BENCH_BATCH", "8192"))
     e = int(os.environ.get("FEM_BENCH_E", "5"))
     repeat_fraction = float(os.environ.get("FEM_BENCH_REPEATS", "0.3"))
-    # cap_occ 80: the aligned occurrence fetch rounds each selected seed's
-    # span to whole 8-pair rows (e=5: 7 seeds -> >=56 slots + crossing
-    # slack), so 64 exact-fit slots now overflow ~9% of reads into tier
-    # retries; 80 covers the alignment slack.
+    # Caps from tools/demand_stats.py on this workload (r3): cap_occ 80
+    # bounds the 8-pair-aligned row fetch (e=5: 7 seeds x >=8 slots + slack
+    # -> 0.1% read retries); cap_vote 32 is the compacted TRUE-pair slab
+    # the sort/vote/dedup chain runs on (p100 = 27); candidates per lane
+    # max out at 6 (cap_cand 16) and verify demand at ~1.6/read (vpr 2).
     cap_occ = int(os.environ.get("FEM_BENCH_CAP_OCC", "80"))
-    cap_cand = int(os.environ.get("FEM_BENCH_CAP_CAND", "64"))
-    verify_per_read = int(os.environ.get("FEM_BENCH_VPR", "4"))
+    cap_vote = int(os.environ.get("FEM_BENCH_CAP_VOTE", "32"))
+    cap_cand = int(os.environ.get("FEM_BENCH_CAP_CAND", "16"))
+    verify_per_read = int(os.environ.get("FEM_BENCH_VPR", "2"))
     accept_per_read = int(os.environ.get("FEM_BENCH_APR", "1"))
     agg = int(os.environ.get("FEM_BENCH_AGG", "0"))
     golden_sample = int(os.environ.get("FEM_BENCH_GOLDEN_SAMPLE", "300"))
@@ -67,8 +69,10 @@ def main() -> None:
         ref = fastx.read_fasta(p)
     args = FemArgs(error_threshold=e, num_additional_qgrams=1)
     index = build_index(ref, 12, 3)
+    # Honest operating point: reads carry up to e errors (incl. indels) —
+    # the advertised capability (src/FEM_map.c:30), not an easier subset.
     reads = sim.simulate_reads(
-        seqs, num_reads, read_length=100, max_errors=min(e, 3), seed=9
+        seqs, num_reads, read_length=100, max_errors=e, seed=9
     )
     print(f"[bench] setup {time.time()-t0:.1f}s "
           f"(genome {genome_mb}Mb repeats={repeat_fraction}, {num_reads} reads, e={e})", file=sys.stderr)
@@ -76,7 +80,7 @@ def main() -> None:
     engine = MappingEngine(
         args, ref, index,
         EngineConfig(batch_size=batch_size, cap_occ=cap_occ, cap_cand=cap_cand,
-                     verify_per_read=verify_per_read,
+                     cap_vote=cap_vote, verify_per_read=verify_per_read,
                      accept_per_read=accept_per_read,
                      aggregate_fetch=agg if agg > 1 else None),
     )
@@ -224,13 +228,11 @@ def worker(d: str, wid: int, nworkers: int) -> None:
     JSON line {reads, seconds} of steady-state mapping time."""
     batch_size = int(os.environ.get("FEM_BENCH_BATCH", "8192"))
     e = int(os.environ.get("FEM_BENCH_E", "5"))
-    # cap_occ 80: the aligned occurrence fetch rounds each selected seed's
-    # span to whole 8-pair rows (e=5: 7 seeds -> >=56 slots + crossing
-    # slack), so 64 exact-fit slots now overflow ~9% of reads into tier
-    # retries; 80 covers the alignment slack.
+    # Caps: see main() — measured by tools/demand_stats.py.
     cap_occ = int(os.environ.get("FEM_BENCH_CAP_OCC", "80"))
-    cap_cand = int(os.environ.get("FEM_BENCH_CAP_CAND", "64"))
-    verify_per_read = int(os.environ.get("FEM_BENCH_VPR", "4"))
+    cap_vote = int(os.environ.get("FEM_BENCH_CAP_VOTE", "32"))
+    cap_cand = int(os.environ.get("FEM_BENCH_CAP_CAND", "16"))
+    verify_per_read = int(os.environ.get("FEM_BENCH_VPR", "2"))
     accept_per_read = int(os.environ.get("FEM_BENCH_APR", "1"))
 
     from fem_tpu.config import FemArgs
@@ -247,7 +249,7 @@ def worker(d: str, wid: int, nworkers: int) -> None:
     engine = MappingEngine(
         args, ref, index,
         EngineConfig(batch_size=batch_size, cap_occ=cap_occ, cap_cand=cap_cand,
-                     verify_per_read=verify_per_read,
+                     cap_vote=cap_vote, verify_per_read=verify_per_read,
                      accept_per_read=accept_per_read,
                      aggregate_fetch=agg if agg > 1 else None),
     )

@@ -126,6 +126,11 @@ class SamWriter:
             self._f.write(b"".join(self._buf))
             self._buf.clear()
 
+    def tell(self) -> int:
+        """Byte offset of the flushed stream (checkpoint bookkeeping)."""
+        self.flush()
+        return self._f.tell()
+
     def close(self) -> None:
         self.flush()
         if self._owned:

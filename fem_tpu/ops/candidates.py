@@ -49,7 +49,10 @@ class CandidateResult(NamedTuple):
     cand_valid: jnp.ndarray  # (NB, CAP_CAND) bool, ascending positions first
     num_candidates: jnp.ndarray  # (NB,) int32
     dp_total: jnp.ndarray  # (NB,) uint32 — pre-filter counter per strand-read
-    needs_fallback: jnp.ndarray  # (NB,) bool — capacity overflow / degenerate
+    needs_fallback: jnp.ndarray  # (NB,) bool — capacity overflow: a bigger
+    # tier fixes these, so they ride the retry ladder
+    inherent_fallback: jnp.ndarray  # (NB,) bool — shard-halo risk /
+    # incomplete DP: no tier helps, route straight to the exact host mapper
     mappable: jnp.ndarray  # (NB,) bool — passed length/ambiguity guards
 
 
@@ -165,10 +168,15 @@ def generate_candidates(
         )
     # Stable ascending sort by *global* frequency; ties keep traceback
     # order — this mirrors glibc qsort's (stable msort) behavior on the
-    # 3-way comparator (src/utils.h:126-136).
+    # 3-way comparator (src/utils.h:126-136). Bitonic network, not
+    # lax.sort: inside this fused program XLA lowers the S-wide lax.sort
+    # catastrophically (r3 bisection: 41 ms of the 176 ms batch at B=8192
+    # for a 7-wide 5-operand sort; the network is ~free). The distinct
+    # `order` tiebreaker key makes the network's output equal the stable
+    # sort.
     order = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (NB, G, S))
-    sfreq_s, _, start_s, off_s, lfreq_s = jax.lax.sort(
-        (sfreq, order, start, sstart_off, lfreq), dimension=2, num_keys=2
+    sfreq_s, _, start_s, off_s, lfreq_s = bitonic_sort_2key(
+        sfreq, order, start, sstart_off, lfreq
     )
     if _stop_after == "selattr":
         return _probe(sfreq_s, start_s, off_s, lfreq_s)
@@ -252,13 +260,46 @@ def generate_candidates(
     if _stop_after == "truncmat":  # materialized variant (profiling only)
         return (slot_valid, diag, sid)
 
-    # ---- sort group slab, vote ---------------------------------------------
-    sid_s = jnp.where(slot_valid, sid, SENTINEL_SID)
-    diag_s = jnp.where(slot_valid, diag, _BIG)
+    # ---- compact valid slots into the vote slab ----------------------------
+    # The aligned-row fetch above is 8-slot granular, so the CAP slab is
+    # mostly padding (r3 measurement on the bench genome: mean true
+    # occurrences per lane-group 5.5 vs mean aligned demand 31 — 17%
+    # occupancy, and every sort/vote/dedup pass below would pay for the
+    # dead slots). One batch-wide scatter compacts the valid (sid, diag)
+    # pairs into a (NB, G, cap_vote) slab sized by the TRUE occurrence
+    # distribution (p100 = 27 on the bench genome at cap_vote = 32);
+    # overflow joins the capacity-retry ladder.
+    VC = params.cap_vote
+    cnt = jnp.cumsum(slot_valid.astype(jnp.int32), axis=2)
+    overflow_vote = cnt[..., -1] > VC  # (NB, G)
+    within = cnt - 1
+    lanegroup = (
+        jnp.arange(NB, dtype=jnp.int32)[:, None] * G
+        + jnp.arange(G, dtype=jnp.int32)[None, :]
+    )
+    target = jnp.where(
+        slot_valid & (within < VC),
+        lanegroup[..., None] * VC + within,
+        NB * G * VC,  # out-of-bounds scatters drop
+    ).reshape(-1)
+    sid_s = (
+        jnp.full((NB * G * VC,), SENTINEL_SID, jnp.int32)
+        .at[target]
+        .set(sid.reshape(-1))
+        .reshape(NB, G, VC)
+    )
+    diag_s = (
+        jnp.full((NB * G * VC,), _BIG, jnp.int32)
+        .at[target]
+        .set(diag.reshape(-1))
+        .reshape(NB, G, VC)
+    )
     if _stop_after == "presort":
-        return _probe(sid_s, diag_s, slot_valid)
+        return _probe(sid_s, diag_s, overflow_vote)
     if _stop_after == "sortvote_b":  # profiling: barrier before the sort
         sid_s, diag_s = jax.lax.optimization_barrier((sid_s, diag_s))
+
+    # ---- sort vote slab, vote ----------------------------------------------
     # Bitonic network instead of lax.sort: inside this fused program the
     # XLA sort lowers catastrophically (see ops/sortnet.py). Validity is
     # recoverable from the sid sentinel, so only the two keys travel.
@@ -372,17 +413,21 @@ def generate_candidates(
         cand_valid &= owned
     cand_pos = jnp.where(cand_valid, cand_pos - e, cand_pos)
 
-    # Degenerate groups (DP < 2 columns) are defined no-ops, not fallbacks
-    # (see fem_tpu/ops/seed_select.py); a non-degenerate incomplete
-    # traceback would be a bug and routes to the host path.
+    # Capacity overflow (occurrence slab / candidate list) retries at a
+    # bigger tier. Degenerate groups (DP < 2 columns) are defined no-ops,
+    # not fallbacks (see fem_tpu/ops/seed_select.py); a non-degenerate
+    # incomplete traceback would be a bug, and a shard-halo risk is a
+    # property of the shard geometry — neither is fixed by a bigger tier,
+    # so both carry the separate *inherent* bit that routes straight to
+    # the exact host mapper.
     needs_fallback = mappable & (
-        jnp.any(overflow_occ, axis=1)
-        | overflow_cand
-        | jnp.any(~complete & ~degenerate, axis=1)
+        jnp.any(overflow_occ | overflow_vote, axis=1) | overflow_cand
     )
+    inherent = mappable & jnp.any(~complete & ~degenerate, axis=1)
     if halo_risk is not None:
-        needs_fallback |= mappable & halo_risk
+        inherent |= mappable & halo_risk
     num_candidates = cand_valid.sum(axis=1).astype(jnp.int32)
     return CandidateResult(
-        cand_sid, cand_pos, cand_valid, num_candidates, dp_total, needs_fallback, mappable
+        cand_sid, cand_pos, cand_valid, num_candidates, dp_total,
+        needs_fallback, inherent, mappable,
     )

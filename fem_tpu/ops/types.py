@@ -92,6 +92,9 @@ class FilterParams:
     max_read_length: int  # Lmax: padded read length
     cap_occ: int = 512  # max gathered occurrences per (read, strand, group)
     cap_cand: int = 512  # max candidates carried per (read, strand)
+    cap_vote: int = 512  # max TRUE occurrences per (read, strand, group):
+    # the width of the compacted slab the sort/vote/dedup chain runs on
+    # (cap_occ bounds the 8-aligned row fetch, cap_vote the live pairs)
 
     @classmethod
     def from_args(cls, args: FemArgs, max_read_length: int, **caps) -> "FilterParams":

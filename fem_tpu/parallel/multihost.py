@@ -118,6 +118,20 @@ def allreduce_stats(stats, ctx: HostContext):
     )
 
 
+def allreduce_min(value: int, ctx: HostContext) -> int:
+    """Min of an integer over all hosts (used to agree on a common resume
+    offset in global-mesh mode, where every submit is a collective and all
+    processes must consume the identical batch stream)."""
+    if not ctx.initialized:
+        return value
+    from jax.experimental import multihost_utils
+
+    gathered = np.asarray(
+        multihost_utils.process_allgather(np.array([value], dtype=np.int64))
+    )
+    return int(gathered.min())
+
+
 def barrier(ctx: HostContext, name: str = "fem") -> None:
     if not ctx.initialized:
         return

@@ -307,6 +307,10 @@ def make_index_sharded_map_fn(
         out["needs_fallback"] = (
             jax.lax.pmax(out["needs_fallback"].astype(jnp.int32), INDEX_AXIS) > 0
         )
+        out["inherent_fallback"] = (
+            jax.lax.pmax(out["inherent_fallback"].astype(jnp.int32), INDEX_AXIS)
+            > 0
+        )
         # A read overflowing ANY index shard's slabs must retry wholly (its
         # hit set would otherwise merge incomplete shards).
         out["retry"] = (

@@ -44,6 +44,35 @@ def _cpu_time() -> float:
     return r.ru_utime + r.ru_stime
 
 
+def _read_checkpoint(path: str) -> list[tuple[int, int]]:
+    """Parse a checkpoint file into [(reads, bytes)] history (oldest
+    first). Legacy format (a single read count, no byte offset) yields
+    [(reads, -1)] — resume then appends without truncating."""
+    hist: list[tuple[int, int]] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            hist.append(
+                (int(parts[0]), int(parts[1]) if len(parts) > 1 else -1)
+            )
+    return hist
+
+
+def _write_checkpoint(path: str, hist: list[tuple[int, int]]) -> None:
+    """Atomically persist the (reads, bytes) history (last 256 entries —
+    global-mesh resume needs a window because hosts crash at different
+    stream positions and must rendezvous on the minimum)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for reads, nbytes in hist[-256:]:
+            f.write(f"{reads} {nbytes}\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def index_main(argv: list[str]) -> int:
     if len(argv) < 4:
         print(
@@ -176,6 +205,8 @@ def map_main(argv: list[str]) -> int:
     p.add_argument("--batch-size", type=int, default=10000)
     p.add_argument("--cap-occ", type=int, default=None,
                    help="tier-0 occurrence-slab capacity (engine tuning)")
+    p.add_argument("--cap-vote", type=int, default=None,
+                   help="tier-0 compacted vote-slab width (engine tuning)")
     p.add_argument("--cap-cand", type=int, default=None,
                    help="tier-0 candidate capacity (engine tuning)")
     p.add_argument("--verify-per-read", type=int, default=None,
@@ -271,19 +302,52 @@ def map_main(argv: list[str]) -> int:
     # Resume support (aux: persisted read-stream offset; the reference's
     # only checkpoint is the index itself — mapping is a stateless stream,
     # so resume = skip already-processed reads).
-    skip_reads = 0
-    ckpt_path = multihost.shard_path(args.checkpoint, ctx) if args.checkpoint else None
-    if ckpt_path and os.path.exists(ckpt_path):
-        with open(ckpt_path) as f:
-            skip_reads = int(f.read().strip() or 0)
-        print(f"Resuming after {skip_reads} reads.", file=sys.stderr)
-
     # Global-mesh mode: the index is coordinate-sharded over a mesh
     # spanning all processes, so every host consumes the SAME batch stream
     # (each host uploads its addressable slice and emits the data rows it
     # owns) instead of the interleaved disjoint-batch assignment of the
     # independent mode.
     global_mesh_mode = args.index_shards > 1 and ctx.initialized
+
+    # Resume: the checkpoint stores (reads, output-bytes) pairs taken when
+    # the output prefix was exactly the records of that read prefix
+    # (map_stream runs `ordered` under --checkpoint). Resume truncates the
+    # SAM shard to the stored byte offset, so a crash between checkpoints
+    # neither loses nor duplicates records.
+    skip_reads = 0
+    resume_bytes = -1
+    ckpt_path = multihost.shard_path(args.checkpoint, ctx) if args.checkpoint else None
+    ckpt_hist: list[tuple[int, int]] = []
+    if ckpt_path and os.path.exists(ckpt_path):
+        ckpt_hist = _read_checkpoint(ckpt_path)
+        if ckpt_hist:
+            skip_reads, resume_bytes = ckpt_hist[-1]
+    if global_mesh_mode and args.checkpoint:
+        # Every submit_batch is a collective: all processes MUST resume
+        # from the same stream position. Hosts crash at different stream
+        # positions, so rendezvous on the minimum; each host truncates its
+        # own shard to its byte offset AT that common position (from its
+        # checkpoint history — positions are batch boundaries identical
+        # across hosts).
+        common = multihost.allreduce_min(skip_reads, ctx)
+        if common != skip_reads:
+            at = [h for h in ckpt_hist if h[0] == common]
+            if not at:
+                print(
+                    f"Checkpoint history too short to rewind from "
+                    f"{skip_reads} to the fleet minimum {common}; delete "
+                    f"the checkpoints and restart the run.",
+                    file=sys.stderr,
+                )
+                return 1
+            skip_reads, resume_bytes = at[0]
+            ckpt_hist = [h for h in ckpt_hist if h[0] <= common]
+    if skip_reads and not os.path.exists(out_path_exists := multihost.shard_path(args.output, ctx)):
+        print(f"Checkpoint present but {out_path_exists} is missing; "
+              f"restarting from 0.", file=sys.stderr)
+        skip_reads, resume_bytes, ckpt_hist = 0, -1, []
+    if skip_reads:
+        print(f"Resuming after {skip_reads} reads.", file=sys.stderr)
 
     def batches():
         skipped = 0
@@ -298,7 +362,12 @@ def map_main(argv: list[str]) -> int:
 
     out_path = multihost.shard_path(args.output, ctx)
     if skip_reads:
-        writer_file = open(out_path, "ab")
+        writer_file = open(out_path, "r+b")
+        if resume_bytes >= 0:
+            # Drop any records written after the checkpointed prefix (the
+            # crash window) — resume re-maps those reads.
+            writer_file.truncate(resume_bytes)
+        writer_file.seek(0, os.SEEK_END)
         writer = None
     else:
         writer = SamWriter(out_path, reference.names, reference.lengths.tolist())
@@ -311,6 +380,12 @@ def map_main(argv: list[str]) -> int:
         else:
             for r in recs:
                 writer_file.write(r)
+
+    def out_flush_tell() -> int:
+        if writer is not None:
+            return writer.tell()
+        writer_file.flush()
+        return writer_file.tell()
 
     from fem_tpu.utils.metrics import PipelineMetrics, Timer
 
@@ -362,6 +437,7 @@ def map_main(argv: list[str]) -> int:
                 k: v
                 for k, v in (
                     ("cap_occ", args.cap_occ),
+                    ("cap_vote", args.cap_vote),
                     ("cap_cand", args.cap_cand),
                     ("verify_per_read", args.verify_per_read),
                     ("accept_per_read", args.accept_per_read),
@@ -377,7 +453,12 @@ def map_main(argv: list[str]) -> int:
             )
             source = ThreadedBatchSource(batches())
             bt = Timer()
-            for recs, stats in engine.map_stream(source):
+            # Checkpointing needs read-order output (see map_stream); the
+            # watermark then equals the reads whose records this loop has
+            # already written, and the flushed byte offset pairs with it.
+            for recs, stats in engine.map_stream(
+                source, ordered=ckpt_path is not None
+            ):
                 write_chunks(recs)
                 total += stats
                 processed += stats.num_reads
@@ -386,13 +467,15 @@ def map_main(argv: list[str]) -> int:
                 if args.verbose_batches:
                     print(f"Mapped read batch in {dt:f}s.", file=sys.stderr)
                 if ckpt_path:
-                    # Resume offset = longest fully-emitted stream prefix:
-                    # capacity-overflow reads retry on deferred tier batches,
-                    # so `processed` may momentarily exceed what's on disk —
-                    # the engine's watermark is the safe offset.
-                    with open(ckpt_path + ".tmp", "w") as f:
-                        f.write(str(skip_reads + engine.watermark_reads))
-                    os.replace(ckpt_path + ".tmp", ckpt_path)
+                    # engine.consumed_reads = stream position through the
+                    # item just written (full batches even on a global
+                    # mesh, where stats.num_reads covers only owned rows);
+                    # in ordered mode the flushed file prefix is exactly
+                    # this host's records for reads [0, position).
+                    pos = skip_reads + engine.consumed_reads
+                    ckpt_hist.append((pos, out_flush_tell()))
+                    del ckpt_hist[:-256]
+                    _write_checkpoint(ckpt_path, ckpt_hist)
     finally:
         if profiling:
             import jax

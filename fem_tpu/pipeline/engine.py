@@ -45,6 +45,8 @@ class TierConfig:
     cap_cand: int
     verify_per_read: int
     accept_per_read: int
+    cap_vote: int = 0  # 0 = same as cap_occ (no compaction win, never
+    # overflows; tier-0 sets a tight width from the true-pair distribution)
 
 
 @dataclasses.dataclass
@@ -52,6 +54,7 @@ class EngineConfig:
     batch_size: int = 10000  # reads per device batch (src/FEM_map.c:151)
     cap_occ: int = 256
     cap_cand: int = 256
+    cap_vote: int = 0  # compacted vote-slab width; 0 = cap_occ
     verify_per_read: int = 16  # verify slots per read-strand lane (avg)
     accept_per_read: int = 4  # accepted-mapping slots per read (avg)
     pipeline_depth: int = 4  # batches in flight (device + drain threads)
@@ -172,6 +175,7 @@ def map_core(
         "num_candidates": cand.num_candidates,
         "dp_total": cand.dp_total,
         "needs_fallback": cand.needs_fallback,
+        "inherent_fallback": cand.inherent_fallback,
         "total_candidates": total,
     }
 
@@ -195,12 +199,21 @@ def pack_outputs(out: dict) -> jnp.ndarray:
               sum_nc, dp_lo16, dp_hi16 (dp sums split 16/16 so 2^32
               lane-sum overflow is impossible)
       [6:)    a_pos (A) | a_lane<<16|a_sid (A) | a_ed<<16|a_end (A) |
-              fallback bitmap (ceil(B/32))
+              fallback bitmap (ceil(B/32)) | inherent bitmap (ceil(B/32))
+
+    The fallback bitmap marks every read whose records were dropped (its
+    lanes overflowed a slab OR hit an inherent limit); the inherent bitmap
+    marks the subset no capacity tier can fix (shard-halo risk, incomplete
+    DP) — the drain routes those straight to the exact host mapper instead
+    of escalating them through the retry ladder (they would re-flag at
+    every rung, lazily compiling each tier program for nothing).
     """
     NB = out["num_candidates"].shape[0]
     B = NB // 2
+    inh_read = out["inherent_fallback"][:B] | out["inherent_fallback"][B:]
     fb_read = (
         out["needs_fallback"][:B] | out["needs_fallback"][B:] | out["retry"]
+        | inh_read
     )
     mask = jnp.concatenate([~fb_read, ~fb_read]).astype(jnp.uint32)
     nc = out["num_candidates"].astype(jnp.uint32) * mask
@@ -219,10 +232,15 @@ def pack_outputs(out: dict) -> jnp.ndarray:
         ]
     )
     pad = (-B) % 32
-    fb_bits = jnp.concatenate([fb_read, jnp.zeros((pad,), bool)]).reshape(-1, 32)
-    fb_words = jnp.sum(
-        fb_bits.astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32), axis=1
-    ).astype(jnp.uint32)
+
+    def bitmap(bits):
+        b = jnp.concatenate([bits, jnp.zeros((pad,), bool)]).reshape(-1, 32)
+        return jnp.sum(
+            b.astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32), axis=1
+        ).astype(jnp.uint32)
+
+    fb_words = bitmap(fb_read)
+    inh_words = bitmap(inh_read)
     lane_sid = (
         (out["a_lane"].astype(jnp.uint32) << 16)
         | (out["a_sid"].astype(jnp.uint32) & 0xFFFF)
@@ -232,7 +250,8 @@ def pack_outputs(out: dict) -> jnp.ndarray:
         | (out["a_end"].astype(jnp.uint32) & 0xFFFF)
     )
     vec = jnp.concatenate(
-        [header, out["a_pos"].astype(jnp.uint32), lane_sid, ed_end, fb_words]
+        [header, out["a_pos"].astype(jnp.uint32), lane_sid, ed_end, fb_words,
+         inh_words]
     )
     # Native-tile-shaped output: TPU buffers are (8, 128)-tiled, so a
     # (rows, 128) u32 result linearizes to host bytes with a trivial
@@ -251,8 +270,8 @@ def _fb_len(NB: int) -> int:
 
 
 def packed_segment_words(acc_cap: int, NB: int) -> int:
-    """True payload length in uint32 words."""
-    return 6 + 3 * acc_cap + _fb_len(NB)
+    """True payload length in uint32 words (fallback + inherent bitmaps)."""
+    return 6 + 3 * acc_cap + 2 * _fb_len(NB)
 
 
 def packed_segment_size(acc_cap: int, NB: int) -> int:
@@ -285,14 +304,19 @@ def unpack_outputs(flat: np.ndarray, acc_cap: int, NB: int, nshards: int) -> dic
     a_ed = (ed_end >> 16).astype(np.int64)
     a_end = (ed_end & 0xFFFF).astype(np.int64)
     o += acc_cap
-    fb = np.stack(
-        [
-            np.unpackbits(
-                p[o : o + fb_words].view(np.uint8), bitorder="little"
-            )[:B]
-            for p in parts
-        ]
-    ).astype(bool)  # (nshards, B)
+
+    def bitmaps(off):
+        return np.stack(
+            [
+                np.unpackbits(
+                    p[off : off + fb_words].view(np.uint8), bitorder="little"
+                )[:B]
+                for p in parts
+            ]
+        ).astype(bool)  # (nshards, B)
+
+    fb = bitmaps(o)
+    inh = bitmaps(o + fb_words)
     return {
         # Accepted hits beyond acc_cap were dropped by the OOB scatter (the
         # affected reads carry retry flags in the fallback bitmap).
@@ -308,6 +332,7 @@ def unpack_outputs(flat: np.ndarray, acc_cap: int, NB: int, nshards: int) -> dic
         "a_end": a_end,
         "a_ed": a_ed,
         "fb": fb,
+        "inherent": inh,
     }
 
 
@@ -389,6 +414,8 @@ class MappingEngine:
         self._batch_state: Dict[int, list] = {}  # seq -> [n_reads, outstanding, drained]
         self._watermark_seq = 0
         self._watermark_reads = 0
+        self.consumed_reads = 0
+        self._tier_warm_started = False
         self._device_args = None  # set for the coordinate-sharded index mode
         self._cross_host = self._mesh_crosses_hosts()
         if self.config.index_mesh is not None:
@@ -502,6 +529,7 @@ class MappingEngine:
                 cap_cand=c.cap_cand,
                 verify_per_read=c.verify_per_read,
                 accept_per_read=c.accept_per_read,
+                cap_vote=c.cap_vote,
             )
         return self.tiers[tier - 1]
 
@@ -512,6 +540,7 @@ class MappingEngine:
             max_len,
             cap_occ=tc.cap_occ,
             cap_cand=tc.cap_cand,
+            cap_vote=tc.cap_vote or tc.cap_occ,
         )
         verify_cap = 2 * batch_size * tc.verify_per_read
         accept_cap = max(2 * batch_size * tc.accept_per_read, 64)
@@ -662,7 +691,7 @@ class MappingEngine:
             f"v{getattr(__import__('fem_tpu'), '__version__', '0')}|"
             f"B{batch_size}|L{max_len}|e{self.args.error_threshold}|"
             f"a{self.args.num_additional_qgrams}|k{self.args.kmer_size}|"
-            f"s{self.args.step_size}|occ{tc.cap_occ}|"
+            f"s{self.args.step_size}|occ{tc.cap_occ}|cv{tc.cap_vote}|"
             f"cc{tc.cap_cand}|v{tc.verify_per_read}|"
             f"ac{tc.accept_per_read}|p{int(self.config.use_pallas)}|"
             f"m{self._mesh_shape()}"
@@ -713,6 +742,42 @@ class MappingEngine:
         if key not in self._fns:
             self._fns[key] = self._compile_with_reroll(batch_size, max_len, tier)
         return self._fns[key]
+
+    def warm_tiers(self, max_len: int) -> None:
+        """Compile-and-execute the retry-tier programs once on a background
+        thread, off the critical path. Tier programs otherwise compile
+        lazily at the FIRST overflow — through the remote TPU compile
+        service that is a multi-minute stall in the middle of a production
+        stream (and the first sync fetch of each tier's output shape pays
+        its own one-time transfer compile). A warm persistent cache makes
+        this a cheap no-op. Mesh modes skip it: every mesh process must
+        join each dispatch, so an asynchronous per-process warm would
+        desynchronize the collectives."""
+        if (
+            self._tier_warm_started
+            or not self._on_tpu
+            or not self.tiers
+            or self.config.mesh is not None
+            or self.config.index_mesh is not None
+            or os.environ.get("FEM_TPU_NO_TIER_WARM") == "1"
+        ):
+            return
+        self._tier_warm_started = True
+        import threading
+
+        Lmax_t = max(128, -(-max_len // 32) * 32)  # _subbatch's padding rule
+
+        def work():
+            try:
+                for t in range(1, len(self.tiers) + 1):
+                    B_t = self._tier(t).batch_size
+                    fn, _ = self._fn_for(B_t, Lmax_t, t)
+                    args = self._probe_args(B_t, Lmax_t, iters=1)[0]
+                    np.asarray(fn(*args, jnp.uint32(0)))  # exec + fetch warm
+            except Exception:
+                pass  # warming is best-effort; the lazy path still works
+
+        threading.Thread(target=work, daemon=True, name="fem-tier-warm").start()
 
     def submit_batch(self, batch: ReadBatch, tier: int = 0):
         """Dispatch one batch to the device without blocking; pair with
@@ -818,7 +883,27 @@ class MappingEngine:
             return self._drain_cross_host(pending)
         return self._drain(pending, per_read=False)
 
-    def _drain_cross_host(self, pending) -> Tuple[List[bytes], MappingStats]:
+    def _drain_stream(self, pending):
+        """Stream-mode drain: completion marks (batch drained / retry
+        resolved / watermark advance) are DEFERRED into `acks` closures
+        that map_stream runs only after the consumer has pulled the NEXT
+        item — i.e. after it had the chance to write this one's records.
+        Marking at drain time (executor threads run up to pipeline_depth
+        batches ahead of the consumer) would let a checkpoint taken right
+        after a crash skip drained-but-unwritten reads on resume."""
+        acks: list = []
+        if self._cross_host:
+            recs, stats = self._drain_cross_host(pending, acks=acks)
+        else:
+            recs, stats = self._drain(pending, per_read=False, acks=acks)
+        # Stream position: original (tier-0) batches advance it; retry
+        # batches re-emit reads already counted by their origin batch.
+        nreads = pending[0].num_reads if pending[2] == 0 else 0
+        return recs, stats, acks, nreads
+
+    def _drain_cross_host(
+        self, pending, acks: list | None = None
+    ) -> Tuple[List[bytes], MappingStats]:
         """Drain on a mesh spanning jax.distributed processes: the program
         all_gathered each data row's index-shard segments (gather_rows), so
         any device in a row holds the row's complete results. This process
@@ -841,7 +926,9 @@ class MappingEngine:
         rows_per_d = n_ip * seg // 128  # segments are (rows, 128) u32 tiles
         row_bytes = {}
         for sh in flat.addressable_shards:
-            d = sh.index[0].start // rows_per_d
+            # With n_dp == 1 JAX reports the unpartitioned dim as
+            # slice(None) — start is None, meaning offset 0.
+            d = (sh.index[0].start or 0) // rows_per_d
             if d not in row_bytes:
                 row_bytes[d] = np.asarray(sh.data).reshape(-1)
         me = jax.process_index()
@@ -883,13 +970,19 @@ class MappingEngine:
                 records.extend(rec for rsegs in segs for rec in rsegs)
             else:
                 records.extend(segs)
-        if seq is not None:
-            with self._pool_lock:
-                self._batch_state[seq][2] = True
-        self._advance_watermark()
+        def mark():
+            if seq is not None:
+                with self._pool_lock:
+                    self._batch_state[seq][2] = True
+            self._advance_watermark()
+
+        if acks is None:
+            mark()
+        else:
+            acks.append(mark)
         return records, stats
 
-    def _drain(self, pending, per_read: bool):
+    def _drain(self, pending, per_read: bool, acks: list | None = None):
         """Unpack one dispatched batch, emit its covered reads, and route
         overflow reads (the device's per-read fallback/retry bitmap) to the
         next capacity tier — pooled for pipelined retry in stream mode,
@@ -915,6 +1008,7 @@ class MappingEngine:
         sum_nc = int(out["sum_nc"].reshape(n_dp, n_ip)[:, 0].sum())
         sum_dp = int(out["sum_dp"].reshape(n_dp, n_ip)[:, 0].sum())
         fb = out["fb"].reshape(n_dp, n_ip, -1)[:, 0].reshape(-1)  # (B,) reads
+        inh = out["inherent"].reshape(n_dp, n_ip, -1)[:, 0].reshape(-1)
         n = batch.num_reads
         fb_idx = np.flatnonzero(fb[:n])
 
@@ -926,33 +1020,49 @@ class MappingEngine:
         stats.num_reads = n - int(fb_idx.size)
 
         if fb_idx.size:
+            # Inherent-limit reads (shard halo / incomplete DP) go straight
+            # to the exact host mapper — no capacity tier can fix them.
+            inh_idx = fb_idx[inh[fb_idx]]
+            cap_idx = fb_idx[~inh[fb_idx]]
+            for i in inh_idx:
+                r, s = self._map_read_fallback(
+                    batch.names[i], batch.seqs[i], batch.quals[i]
+                )
+                segs[i] = r
+                stats += s
             reads = [
-                (batch.names[i], batch.seqs[i], batch.quals[i]) for i in fb_idx
+                (batch.names[i], batch.seqs[i], batch.quals[i]) for i in cap_idx
             ]
             if tier == 0 and self._retry_pool is not None and self.tiers:
                 # Stream mode: defer to the pipelined retry pool.
                 with self._pool_lock:
-                    self._batch_state[seq][1] = int(fb_idx.size)
+                    self._batch_state[seq][1] = len(reads)
                     self._retry_pool.extend(
                         (seq, nm, sq, ql) for nm, sq, ql in reads
                     )
-            else:
+            elif reads:
                 fb_segs, fb_stats = self._map_reads_at_tier(reads, tier + 1)
-                for i, rsegs in zip(fb_idx, fb_segs):
+                for i, rsegs in zip(cap_idx, fb_segs):
                     segs[i] = rsegs
                 stats += fb_stats
 
-        origins = getattr(batch, "origin_seqs", None)
-        if origins is not None:
-            with self._pool_lock:
-                for s0 in origins:
-                    st = self._batch_state.get(s0)
-                    if st is not None:
-                        st[1] -= 1
-        if seq is not None:
-            with self._pool_lock:
-                self._batch_state[seq][2] = True
-        self._advance_watermark()
+        def mark():
+            origins = getattr(batch, "origin_seqs", None)
+            if origins is not None:
+                with self._pool_lock:
+                    for s0 in origins:
+                        st = self._batch_state.get(s0)
+                        if st is not None:
+                            st[1] -= 1
+            if seq is not None:
+                with self._pool_lock:
+                    self._batch_state[seq][2] = True
+            self._advance_watermark()
+
+        if acks is None:
+            mark()
+        else:
+            acks.append(mark)
 
         if per_read:
             return segs, stats
@@ -1022,8 +1132,16 @@ class MappingEngine:
         records spliced back in place) + stats."""
         return self.drain_batch(self.submit_batch(batch))
 
-    def map_stream(self, batches, depth: int | None = None):
+    def map_stream(self, batches, depth: int | None = None,
+                   ordered: bool = False):
         """Map a stream of batches keeping `depth` batch groups in flight.
+
+        With `ordered`, capacity-overflow reads are remapped synchronously
+        inside each batch's drain and their records spliced back in read
+        order, so the output stream is an exact read-order prefix at every
+        yield — the property checkpoint/resume needs to truncate-and-resume
+        without record loss or duplication. Costs serialization only on
+        the (rare) overflow reads; unordered mode pipelines them instead.
 
         The tunneled host<->device link charges a fixed ~25 ms per
         synchronous fetch and concurrent fetches serialize, so results of
@@ -1050,16 +1168,34 @@ class MappingEngine:
         # (In serialize_dispatch mode aggregation is the main lever: one
         # ~30 ms fetch RPC covers `agg` batches.)
         pool: list = []
-        self._retry_pool = pool
-        retry_B = self._tier(1).batch_size if self.tiers else 0
+        self._retry_pool = None if ordered else pool
+        retry_B = self._tier(1).batch_size if self.tiers and not ordered else 0
+        self.consumed_reads = 0  # stream position of the last consumed item
 
         def drain_group(group, flat):
             host = np.asarray(flat).reshape(-1)
             seg = host.shape[0] // len(group)
             return [
-                self.drain_batch((b, host[i * seg : (i + 1) * seg], t, s))
+                self._drain_stream((b, host[i * seg : (i + 1) * seg], t, s))
                 for i, (b, _, t, s) in enumerate(group)
             ]
+
+        def consume(items):
+            # Completion marks run only after the consumer pulls the NEXT
+            # item — by then it has had the chance to persist this one's
+            # records, so the checkpoint watermark never runs ahead of the
+            # output file (see _drain_stream). `consumed_reads` advances
+            # BEFORE the yield: it is the stream position INCLUDING the
+            # item the consumer is handling (in ordered mode, the exact
+            # read count whose records the consumer will have written once
+            # it processes the item — what a checkpoint must pair with the
+            # flushed byte offset; stats.num_reads can't serve: on a
+            # global mesh it counts only this host's owned rows).
+            for recs, stats, acks, nreads in items:
+                self.consumed_reads += nreads
+                yield recs, stats
+                for a in acks:
+                    a()
 
         q: deque = deque()
         group: list = []
@@ -1070,7 +1206,7 @@ class MappingEngine:
                     nonlocal group
                     if len(group) == 1:
                         q.append(
-                            ex.submit(lambda g: [self.drain_batch(g)], group[0])
+                            ex.submit(lambda g: [self._drain_stream(g)], group[0])
                         )
                     elif self.config.serialize_dispatch:
                         with self._device_lock:
@@ -1105,22 +1241,24 @@ class MappingEngine:
                             self.retried_reads += rb.num_reads
                         pending = self.submit_batch(rb, tier=1)
                         q.append(
-                            ex.submit(lambda p: [self.drain_batch(p)], pending)
+                            ex.submit(lambda p: [self._drain_stream(p)], pending)
                         )
 
                 for batch in batches:
                     group.append(self.submit_batch(batch))
+                    if batch.codes is not None:
+                        self.warm_tiers(batch.codes.shape[1])
                     if len(group) >= agg:
                         flush()
                     if retry_B:
                         flush_retries(retry_B)
                     while len(q) > depth:
-                        yield from q.popleft().result()
+                        yield from consume(q.popleft().result())
                 if group:
                     flush()
                 while q or pool:
                     while q:
-                        yield from q.popleft().result()
+                        yield from consume(q.popleft().result())
                     if retry_B:
                         flush_retries(1)
         finally:

@@ -105,7 +105,7 @@ def test_generate_candidates_matches_golden(world, default_args):
     valid = np.asarray(res.cand_valid)
     nc = np.asarray(res.num_candidates)
     dp = np.asarray(res.dp_total)
-    fb = np.asarray(res.needs_fallback)
+    fb = np.asarray(res.needs_fallback) | np.asarray(res.inherent_fallback)
     for i, s in enumerate(seq_list):
         rcodes = CHAR_TO_CODE[np.frombuffer(s, np.uint8)]
         gc, gdp = mapper.generate_candidates(rcodes)

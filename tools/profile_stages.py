@@ -46,9 +46,9 @@ STAGES = [
 ]
 
 
-def build_workload(B=2048):
+def build_workload(B=2048, max_errors=3):
     os.makedirs(CACHE, exist_ok=True)
-    npz = os.path.join(CACHE, f"workload{B}.npz")
+    npz = os.path.join(CACHE, f"workload{B}_me{max_errors}.npz")
     ixp = os.path.join(CACHE, "ref.index")
     fap = os.path.join(CACHE, "ref.fa")
     from fem_tpu import sim
@@ -59,11 +59,17 @@ def build_workload(B=2048):
     if not (os.path.exists(npz) and os.path.exists(ixp) and os.path.exists(fap)):
         t0 = time.time()
         seqs = sim.random_genome(int(46e6), num_seqs=1, seed=7, repeat_fraction=0.3)
-        sim.write_fasta(fap, seqs)
+        if not os.path.exists(fap):
+            sim.write_fasta(fap, seqs)
         ref = fastx.read_fasta(fap)
-        index = build_index(ref, 12, 3)
-        save_index(index, ixp)
-        reads = sim.simulate_reads(seqs, B, read_length=100, max_errors=3, seed=9)
+        if os.path.exists(ixp):
+            index = load_index(ixp)
+        else:
+            index = build_index(ref, 12, 3)
+            save_index(index, ixp)
+        reads = sim.simulate_reads(
+            seqs, B, read_length=100, max_errors=max_errors, seed=9
+        )
         from tests.test_engine import _batch_from_reads
 
         batch = _batch_from_reads(reads)
@@ -80,11 +86,17 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--e", type=int, default=5)
     ap.add_argument("--cap", type=int, default=64)
+    ap.add_argument("--cap-vote", type=int, default=None)
+    ap.add_argument("--cap-cand", type=int, default=None)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--vpr", type=int, default=16)
+    ap.add_argument("--apr", type=int, default=4)
+    ap.add_argument("--max-errors", type=int, default=None,
+                    help="read error budget (default: e, the honest point)")
     ap.add_argument("--stages", type=str, default=",".join(STAGES))
     args = ap.parse_args()
     stages = args.stages.split(",")
+    max_errors = args.e if args.max_errors is None else args.max_errors
 
     from fem_tpu.config import FemArgs
     from fem_tpu.ops.candidates import generate_candidates
@@ -92,14 +104,17 @@ def main() -> None:
     from fem_tpu.ops.types import FilterParams, device_index_from_host
     from fem_tpu.pipeline.engine import map_core, pack_outputs
 
-    ref, index, codes_np, lengths_np = build_workload(args.batch)
+    ref, index, codes_np, lengths_np = build_workload(args.batch, max_errors)
     dindex = device_index_from_host(index, ref)
     fa = FemArgs(error_threshold=args.e, num_additional_qgrams=1)
     params = FilterParams.from_args(
-        fa, codes_np.shape[1], cap_occ=args.cap, cap_cand=args.cap
+        fa, codes_np.shape[1], cap_occ=args.cap,
+        cap_cand=args.cap_cand or args.cap,
+        cap_vote=args.cap_vote or args.cap,
     )
     B = codes_np.shape[0]
     verify_cap = 2 * B * args.vpr
+    accept_cap = max(2 * B * args.apr, 64)
     use_pallas = jax.devices()[0].platform == "tpu"
 
     # Distinct input buffers per dispatch: identical (program, args) pairs
@@ -138,7 +153,8 @@ def main() -> None:
 
         if stop == "full":
             def body(di, c, l):  # noqa: F811
-                out = map_core(di, c, l, params, verify_cap, use_pallas, 8192)
+                out = map_core(di, c, l, params, verify_cap, use_pallas,
+                               accept_cap)
                 return jnp.sum(pack_outputs(out).astype(jnp.uint32))
 
         return jax.jit(body)
