@@ -77,6 +77,46 @@ def main() -> None:
     print(f"[bench] setup {time.time()-t0:.1f}s "
           f"(genome {genome_mb}Mb repeats={repeat_fraction}, {num_reads} reads, e={e})", file=sys.stderr)
 
+    # CPU baseline FIRST, before any TPU work: the standalone fem_baseline
+    # mapper (byte-identical semantics, single thread — the reference's
+    # default t=1 operating point src/FEM_map.c:71). Once the TPU client is
+    # up, its tunnel threads steal cycles on this 2-core host and the
+    # baseline reads 2-3x slow (r3 measured 45k/34k/16k run-to-run when
+    # this block ran last).
+    baseline_rps = None
+    try:
+        import subprocess
+
+        from fem_tpu.native.build import build_baseline
+
+        bin_ = build_baseline()
+        with tempfile.TemporaryDirectory() as d:
+            fa = os.path.join(d, "ref.fa")
+            fq = os.path.join(d, "reads.fq")
+            ix = os.path.join(d, "ref.index")
+            sam = os.path.join(d, "out.sam")
+            sim.write_fasta(fa, seqs)
+            sim.write_fastq(fq, reads)
+            subprocess.run([bin_, "index", "12", "3", fa, ix], check=True,
+                           capture_output=True)
+            t0 = time.time()
+            subprocess.run(
+                [bin_, "map", "-e", str(e), "-a", "1", "-t", "1", "--ref", fa,
+                 "--index", ix, "--read1", fq, "-o", sam],
+                check=True, capture_output=True)
+            baseline_rps = num_reads / (time.time() - t0)
+        print(f"[bench] fem_baseline (1 CPU thread): {baseline_rps:,.0f} reads/s",
+              file=sys.stderr)
+    except Exception as exc:  # pragma: no cover
+        print(f"[bench] baseline build/run failed ({exc}); using golden oracle",
+              file=sys.stderr)
+        golden = GoldenMapper(args, ref, index)
+        sample = reads[:golden_sample]
+        t0 = time.time()
+        for r in sample:
+            golden.map_read(r.name, r.seq, r.qual)
+        baseline_rps = golden_sample / (time.time() - t0)
+
     engine = MappingEngine(
         args, ref, index,
         EngineConfig(batch_size=batch_size, cap_occ=cap_occ, cap_cand=cap_cand,
@@ -170,44 +210,6 @@ def main() -> None:
                         print(f"[bench] worker failed rc={p.returncode}: "
                               f"{err[-800:]}", file=sys.stderr)
 
-
-    # CPU baseline: the standalone fem_baseline mapper (byte-identical
-    # semantics, single thread — the reference's default t=1 operating
-    # point src/FEM_map.c:71); golden oracle as a last resort.
-    baseline_rps = None
-    try:
-        import subprocess
-        import tempfile
-
-        from fem_tpu.native.build import build_baseline
-
-        bin_ = build_baseline()
-        with tempfile.TemporaryDirectory() as d:
-            fa = os.path.join(d, "ref.fa")
-            fq = os.path.join(d, "reads.fq")
-            ix = os.path.join(d, "ref.index")
-            sam = os.path.join(d, "out.sam")
-            sim.write_fasta(fa, seqs)
-            sim.write_fastq(fq, reads)
-            subprocess.run([bin_, "index", "12", "3", fa, ix], check=True,
-                           capture_output=True)
-            t0 = time.time()
-            subprocess.run(
-                [bin_, "map", "-e", str(e), "-a", "1", "-t", "1", "--ref", fa,
-                 "--index", ix, "--read1", fq, "-o", sam],
-                check=True, capture_output=True)
-            baseline_rps = num_reads / (time.time() - t0)
-        print(f"[bench] fem_baseline (1 CPU thread): {baseline_rps:,.0f} reads/s",
-              file=sys.stderr)
-    except Exception as exc:  # pragma: no cover
-        print(f"[bench] baseline build/run failed ({exc}); using golden oracle",
-              file=sys.stderr)
-        golden = GoldenMapper(args, ref, index)
-        sample = reads[:golden_sample]
-        t0 = time.time()
-        for r in sample:
-            golden.map_read(r.name, r.seq, r.qual)
-        baseline_rps = golden_sample / (time.time() - t0)
 
     print(
         json.dumps(

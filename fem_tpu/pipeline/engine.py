@@ -744,15 +744,21 @@ class MappingEngine:
         return self._fns[key]
 
     def warm_tiers(self, max_len: int) -> None:
-        """Compile-and-execute the retry-tier programs once on a background
-        thread, off the critical path. Tier programs otherwise compile
+        """Compile-and-execute the retry-tier programs once, synchronously,
+        before the stream's first dispatch. Tier programs otherwise compile
         lazily at the FIRST overflow — through the remote TPU compile
         service that is a multi-minute stall in the middle of a production
         stream (and the first sync fetch of each tier's output shape pays
         its own one-time transfer compile). A warm persistent cache makes
-        this a cheap no-op. Mesh modes skip it: every mesh process must
-        join each dispatch, so an asynchronous per-process warm would
-        desynchronize the collectives."""
+        this a cheap no-op on reruns.
+
+        Synchronous on purpose: the r3 background-thread version dropped
+        mainline throughput 50k -> 10.6k reads/s (its compile RPCs and
+        fetch share the tunneled runtime with the stream's dispatches) and
+        aborted under 2 worker processes (concurrent compile+execute in
+        one process raised inside the runtime client -> std::terminate).
+        Mesh modes skip it: every mesh process must join each dispatch, so
+        a per-process warm would desynchronize the collectives."""
         if (
             self._tier_warm_started
             or not self._on_tpu
@@ -763,21 +769,15 @@ class MappingEngine:
         ):
             return
         self._tier_warm_started = True
-        import threading
-
         Lmax_t = max(128, -(-max_len // 32) * 32)  # _subbatch's padding rule
-
-        def work():
-            try:
-                for t in range(1, len(self.tiers) + 1):
-                    B_t = self._tier(t).batch_size
-                    fn, _ = self._fn_for(B_t, Lmax_t, t)
-                    args = self._probe_args(B_t, Lmax_t, iters=1)[0]
-                    np.asarray(fn(*args, jnp.uint32(0)))  # exec + fetch warm
-            except Exception:
-                pass  # warming is best-effort; the lazy path still works
-
-        threading.Thread(target=work, daemon=True, name="fem-tier-warm").start()
+        try:
+            for t in range(1, len(self.tiers) + 1):
+                B_t = self._tier(t).batch_size
+                fn, _ = self._fn_for(B_t, Lmax_t, t)
+                args = self._probe_args(B_t, Lmax_t, iters=1)[0]
+                np.asarray(fn(*args, jnp.uint32(0)))  # exec + fetch warm
+        except Exception:
+            pass  # warming is best-effort; the lazy path still works
 
     def submit_batch(self, batch: ReadBatch, tier: int = 0):
         """Dispatch one batch to the device without blocking; pair with
@@ -1245,9 +1245,12 @@ class MappingEngine:
                         )
 
                 for batch in batches:
-                    group.append(self.submit_batch(batch))
                     if batch.codes is not None:
+                        # Must complete BEFORE the first dispatch: tier
+                        # compiles concurrent with the stream starve it
+                        # (see warm_tiers).
                         self.warm_tiers(batch.codes.shape[1])
+                    group.append(self.submit_batch(batch))
                     if len(group) >= agg:
                         flush()
                     if retry_B:
