@@ -85,6 +85,7 @@ def generate_candidates(
     index: DeviceIndex,
     params: FilterParams,
     index_axis: str | None = None,
+    use_kernel: bool = False,
     _stop_after: str | None = None,
 ) -> CandidateResult:
     """With `index_axis` set, the occurrence table is coordinate-sharded
@@ -260,7 +261,44 @@ def generate_candidates(
     if _stop_after == "truncmat":  # materialized variant (profiling only)
         return (slot_valid, diag, sid)
 
-    # ---- compact valid slots into the vote slab ----------------------------
+    # ---- sort + vote + dedup: Pallas kernel or XLA slab path ----------------
+    # On TPU the whole tail runs as one Pallas kernel in VMEM
+    # (ops/filter_tail_pallas.py): no compaction scatter, no HBM slab
+    # round-trips between sort/vote/dedup, and no cap_vote overflow tier
+    # (the kernel sorts the full cap_occ-wide slab). The XLA path below is
+    # the portable fallback (CPU tests, virtual meshes) and the retry
+    # tiers whose slabs exceed the kernel's VMEM budget.
+    kernel_on = (
+        use_kernel and _stop_after is None and params.cap_cand + CAP <= 512
+    )
+    halo_risk = None
+    if kernel_on:
+        from fem_tpu.ops.filter_tail_pallas import filter_tail_pallas
+
+        if index.halo_lo is not None:
+            # Same set as the XLA path's sorted-slab check: the vote only
+            # removes candidates, and this is an any() over the slab.
+            hlo = jnp.take(
+                index.halo_lo,
+                jnp.clip(sid, 0, index.halo_lo.shape[0] - 1),
+                mode="clip",
+            )
+            halo_risk = (
+                slot_valid & (diag >= hlo) & (diag < hlo + e)
+            ).any(axis=(1, 2))
+        sid_m = jnp.where(slot_valid, sid, SENTINEL_SID)
+        diag_m = jnp.where(slot_valid, diag, _BIG)
+        cand_sid, cand_pos, overflow_cand = filter_tail_pallas(
+            sid_m, diag_m, CC, e, a
+        )
+        cand_valid = cand_sid != SENTINEL_SID
+        overflow_vote = jnp.zeros((NB, G), bool)
+        return _finish_candidates(
+            cand_sid, cand_pos, cand_valid, overflow_cand, overflow_vote,
+            overflow_occ, halo_risk, complete, degenerate, mappable,
+            dp_total, lengths, index, params,
+        )
+
     # The aligned-row fetch above is 8-slot granular, so the CAP slab is
     # mostly padding (r3 measurement on the bench genome: mean true
     # occurrences per lane-group 5.5 vs mean aligned demand 31 — 17%
@@ -394,6 +432,20 @@ def generate_candidates(
         cand_valid = cand_sid != SENTINEL_SID
     if _stop_after == "dedup":
         return _probe(cand_sid, cand_pos, cand_valid)
+
+    return _finish_candidates(
+        cand_sid, cand_pos, cand_valid, overflow_cand, overflow_vote,
+        overflow_occ, halo_risk, complete, degenerate, mappable,
+        dp_total, lengths, index, params,
+    )
+
+
+def _finish_candidates(
+    cand_sid, cand_pos, cand_valid, overflow_cand, overflow_vote,
+    overflow_occ, halo_risk, complete, degenerate, mappable,
+    dp_total, lengths, index: DeviceIndex, params: FilterParams,
+) -> CandidateResult:
+    e = params.error_threshold
 
     # ---- range filter + band-start shift (src/filter.c:133-144) ------------
     ref_len = jnp.take(

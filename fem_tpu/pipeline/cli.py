@@ -486,6 +486,9 @@ def map_main(argv: list[str]) -> int:
     else:
         writer_file.close()
     metrics.wall_total_s = time.time() - t0
+    if args.engine == "device":
+        metrics.fallback_reads = engine.fallback_reads
+        metrics.retried_reads = engine.retried_reads
 
     # Cross-host counter rollup (the reference's per-thread stats merge at
     # join, src/FEM_map.c:200-212, as one allgather over all hosts).

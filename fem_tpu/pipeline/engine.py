@@ -101,7 +101,8 @@ def map_core(
     hashes = seed_hashes(both, params.kmer_size)
     amb = ambiguous_base_counts(both, lens2, params.kmer_size)
     cand = generate_candidates(
-        both, lens2, hashes, amb, index, params, index_axis=index_axis
+        both, lens2, hashes, amb, index, params, index_axis=index_axis,
+        use_kernel=use_pallas,
     )
 
     # Compact valid candidates into the verify slab. Flat order is
@@ -901,6 +902,19 @@ class MappingEngine:
         nreads = pending[0].num_reads if pending[2] == 0 else 0
         return recs, stats, acks, nreads
 
+    def _allgather_row_bitmaps(self, fb_own: np.ndarray, inh_own: np.ndarray):
+        """OR the per-process owned-row fallback/inherent bitmaps into the
+        global per-read bitmaps (every process sees every row's flags).
+        One tiny (2, B) u8 allgather per batch over the coordination
+        service; dispatched only from the ordered cross-host drain so every
+        process issues it at the same stream position."""
+        from jax.experimental import multihost_utils
+
+        both = np.stack([fb_own, inh_own]).astype(np.uint8)
+        g = np.asarray(multihost_utils.process_allgather(both))
+        g = g.reshape(-1, 2, fb_own.shape[0])
+        return g[:, 0].max(axis=0).astype(bool), g[:, 1].max(axis=0).astype(bool)
+
     def _drain_cross_host(
         self, pending, acks: list | None = None
     ) -> Tuple[List[bytes], MappingStats]:
@@ -910,15 +924,23 @@ class MappingEngine:
         fetches only its addressable shards and emits the rows it *owns*
         (deterministic round-robin over the processes present in each row);
         counters cover owned reads only and allreduce at stream end
-        (fem_tpu/parallel/multihost.allreduce_stats). Overflow reads go to
-        the exact host mapper — retry tiers would require every process to
-        join each dispatch, which independent per-row overflow cannot
-        guarantee."""
+        (fem_tpu/parallel/multihost.allreduce_stats).
+
+        Capacity-overflow reads ride the SAME retry ladder as the
+        single-host path (the reference's filter has no caps at any thread
+        count, src/filter.c:80-131): the owned-row overflow bitmaps
+        allgather into a global bitmap, so every process derives the
+        identical retry read list and joins the identical tier-program
+        dispatches (collectives require every process to enqueue the same
+        programs in the same order — which is also why cross-host drains
+        run on the consumer thread in stream order, see map_stream).
+        Inherent-limit reads (shard halo / incomplete DP) go to the exact
+        host mapper of the row owner; reads still overflowing past the
+        last tier round-robin over all processes."""
         batch, flat, tier, seq = pending
-        assert tier == 0
         mesh = self.config.index_mesh
         n_dp, n_ip = self._mesh_shape()
-        tc = self._tier(0)
+        tc = self._tier(tier)
         B = tc.batch_size
         Bloc = B // n_dp
         acc_cap = max(max(2 * B * tc.accept_per_read, 64) // (n_dp * n_ip), 8)
@@ -934,19 +956,33 @@ class MappingEngine:
         me = jax.process_index()
         records: List[bytes] = []
         stats = MappingStats()
+        n = batch.num_reads
+        fb_own = np.zeros((B,), bool)
+        inh_own = np.zeros((B,), bool)
+        outs = {}
+        owned_rows = []
         for d in sorted(row_bytes):
             procs = sorted({dev.process_index for dev in mesh.devices[d]})
             if procs[d % len(procs)] != me:
                 continue
+            owned_rows.append(d)
+            out = unpack_outputs(row_bytes[d], acc_cap, 2 * Bloc, n_ip)
+            outs[d] = out
             lo = d * Bloc
-            n_row = min(max(batch.num_reads - lo, 0), Bloc)
+            fb_own[lo : lo + Bloc] = out["fb"][0]
+            inh_own[lo : lo + Bloc] = out["inherent"][0]
+        fb_all, inh_all = self._allgather_row_bitmaps(fb_own, inh_own)
+        for d in owned_rows:
+            lo = d * Bloc
+            n_row = min(max(n - lo, 0), Bloc)
             if n_row == 0:
                 continue
-            out = unpack_outputs(row_bytes[d], acc_cap, 2 * Bloc, n_ip)
+            out = outs[d]
             # Index shards carry identical psum'd/pmax'd per-row values.
             sum_nc = int(out["sum_nc"][0])
             sum_dp = int(out["sum_dp"][0])
             fb = out["fb"][0]
+            inh = out["inherent"][0]
             rb = ReadBatch(
                 batch.names[lo : lo + n_row],
                 batch.seqs[lo : lo + n_row],
@@ -959,7 +995,9 @@ class MappingEngine:
                 rb, out, sum_nc, sum_dp, fb, Bloc, fb_idx.size > 0
             )
             st.num_reads = n_row - int(fb_idx.size)
-            for i in fb_idx:
+            # Row owner host-maps its rows' inherent-limit reads; capacity
+            # overflow is handled collectively below.
+            for i in fb_idx[inh[fb_idx]]:
                 r, s = self._map_read_fallback(
                     rb.names[i], rb.seqs[i], rb.quals[i]
                 )
@@ -970,6 +1008,34 @@ class MappingEngine:
                 records.extend(rec for rsegs in segs for rec in rsegs)
             else:
                 records.extend(segs)
+
+        # Collective capacity retry: identical on every process (derived
+        # from the allgathered bitmap), so tier dispatches stay in lockstep.
+        cap_idx = np.flatnonzero(fb_all[:n] & ~inh_all[:n])
+        if cap_idx.size:
+            reads = [
+                (batch.names[i], batch.seqs[i], batch.quals[i]) for i in cap_idx
+            ]
+            if tier < len(self.tiers):
+                with self._fallback_lock:
+                    self.retried_reads += len(reads)
+                B_t = self._tier(tier + 1).batch_size
+                for lo2 in range(0, len(reads), B_t):
+                    sub = self._subbatch(reads[lo2 : lo2 + B_t])
+                    r2, s2 = self._drain_cross_host(
+                        self.submit_batch(sub, tier + 1)
+                    )
+                    records.extend(r2)
+                    stats += s2
+            else:
+                nproc = max(jax.process_count(), 1)
+                for j, (nm, sq, ql) in enumerate(reads):
+                    if j % nproc != me:
+                        continue
+                    r, s = self._map_read_fallback(nm, sq, ql)
+                    records.extend(r)
+                    stats += s
+
         def mark():
             if seq is not None:
                 with self._pool_lock:
@@ -1168,8 +1234,12 @@ class MappingEngine:
         # (In serialize_dispatch mode aggregation is the main lever: one
         # ~30 ms fetch RPC covers `agg` batches.)
         pool: list = []
-        self._retry_pool = None if ordered else pool
-        retry_B = self._tier(1).batch_size if self.tiers and not ordered else 0
+        self._retry_pool = None if (ordered or self._cross_host) else pool
+        retry_B = (
+            self._tier(1).batch_size
+            if self.tiers and not ordered and not self._cross_host
+            else 0
+        )
         self.consumed_reads = 0  # stream position of the last consumed item
 
         def drain_group(group, flat):
@@ -1197,6 +1267,19 @@ class MappingEngine:
                 for a in acks:
                     a()
 
+        class _Lazy:
+            """Future evaluated at .result() on the consumer thread. Used
+            in cross-host mode: the drain dispatches collectives (bitmap
+            allgather, tier retries), and every process must enqueue those
+            in the same order — executor threads would race, the consumer
+            loop is deterministic."""
+
+            def __init__(self, fn, *a):
+                self._fn, self._a = fn, a
+
+            def result(self):
+                return self._fn(*self._a)
+
         q: deque = deque()
         group: list = []
         try:
@@ -1204,7 +1287,11 @@ class MappingEngine:
 
                 def flush():
                     nonlocal group
-                    if len(group) == 1:
+                    if self._cross_host:
+                        q.append(
+                            _Lazy(lambda g: [self._drain_stream(g)], group[0])
+                        )
+                    elif len(group) == 1:
                         q.append(
                             ex.submit(lambda g: [self._drain_stream(g)], group[0])
                         )

@@ -36,7 +36,8 @@ class PipelineMetrics:
     num_batches: int = 0
     reads: int = 0
     records: int = 0
-    fallback_reads: int = 0
+    fallback_reads: int = 0  # exact-host-mapper reads (past the last tier)
+    retried_reads: int = 0  # reads remapped at retry tiers >= 1
     wall_submit_s: float = 0.0
     wall_drain_s: float = 0.0
     wall_total_s: float = 0.0

@@ -9,6 +9,7 @@ allreduced counters must equal a plain single-host run — the t>1
 record-set contract (SURVEY.md §2.4).
 """
 
+import json
 import os
 import socket
 import subprocess
@@ -106,3 +107,73 @@ def test_cross_host_index_shards(workdir, capsys):
     assert r0 | r1 == _records(str(d / "single.sam"))
     assert not (r0 & r1), "row ownership must not duplicate records"
     assert _counters(outs[0][1]) == single_counters
+
+
+def test_cross_host_retry_ladder(tmp_path):
+    """Capacity-overflow reads on a cross-host (data x index) mesh ride
+    the device retry-tier ladder (collective tier dispatches derived from
+    the allgathered overflow bitmap), not the one-read host mapper: a
+    satellite-repeat genome under deliberately tight tier-0 caps must show
+    retried > 0 with record-set + counter parity against a single-host
+    run. Match: the reference filter has no caps at any -t
+    (src/filter.c:80-131)."""
+    d = tmp_path
+    seqs = sim.satellite_genome(
+        120_000, num_seqs=2, seed=31, satellite_fraction=0.05
+    )
+    sim.write_fasta(str(d / "ref.fa"), seqs)
+    reads = sim.simulate_reads(seqs, 192, read_length=100, max_errors=2, seed=32)
+    sim.write_fastq(str(d / "reads.fq"), reads)
+    assert cli.main(["index", "12", "3", str(d / "ref.fa"), str(d / "ref.index")]) == 0
+    (d / "driver.py").write_text(_DRIVER)
+
+    tight = [
+        "--cap-occ", "16", "--cap-vote", "16", "--cap-cand", "8",
+        "--verify-per-read", "2", "--accept-per-read", "2",
+    ]
+    base = [
+        "map", "-e", "2", "-a", "1",
+        "--ref", str(d / "ref.fa"), "--index", str(d / "ref.index"),
+        "--read1", str(d / "reads.fq"), "--batch-size", "64",
+    ]
+    # Single-host reference output (default caps, no mesh).
+    assert cli.main(base + ["-o", str(d / "single.sam")]) == 0
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, str(d / "driver.py"), *base, *tight,
+                "-o", str(d / "xhost.sam"),
+                "--stats-json", str(d / "stats.json"),
+                "--num-hosts", "2", "--host-id", str(i),
+                "--coordinator", f"localhost:{port}",
+                "--index-shards", "2",
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (_, err) in zip(procs, outs):
+        assert p.returncode == 0, err
+
+    r0 = _records(str(d / "xhost.sam.host0000"))
+    r1 = _records(str(d / "xhost.sam.host0001"))
+    assert r0 | r1 == _records(str(d / "single.sam"))
+    assert not (r0 & r1)
+    retried = fallbacks = 0
+    for i in range(2):
+        with open(str(d / f"stats.json.host{i:04d}")) as f:
+            st = json.load(f)
+        retried += st["retried_reads"]
+        fallbacks += st["fallback_reads"]
+    assert retried > 0, "tight caps must exercise the device retry ladder"
+    # The ladder, not the host mapper, must absorb capacity overflow.
+    assert fallbacks <= len(reads) // 20
