@@ -157,9 +157,16 @@ def generate_candidates(
             out = jnp.where(sel_pc == k, arr[..., k, None], out)
         return out
 
-    start = at_selected(jnp.broadcast_to(read_pos[None], (NB, G, NG)))
+    # read position of group coordinate p in group si is si + p*step —
+    # pure arithmetic, no selection needed; the frequency re-gathers from
+    # the table by the selected hash (344k-element gather) instead of a
+    # second NG-step select chain.
+    start = (
+        jnp.arange(G, dtype=jnp.int32)[None, :, None]
+        + sel_pc * params.step_size
+    )
     sel_hash = at_selected(group_hashes)
-    sfreq = at_selected(freqs).astype(jnp.int32)
+    sfreq = jnp.take(index.freq_table, sel_hash, mode="clip").astype(jnp.int32)
     sstart_off = jnp.take(index.lookup, sel_hash, mode="clip")
     if index_axis is None:
         lfreq = sfreq  # local == global on an unsharded index

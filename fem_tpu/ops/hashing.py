@@ -19,11 +19,20 @@ def reverse_complement(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     complement = 3 ^ code for real bases, ambiguous stays ambiguous.
     """
     B, Lmax = codes.shape
-    idx = lengths[:, None] - 1 - jnp.arange(Lmax, dtype=jnp.int32)[None, :]
-    valid = idx >= 0
-    gathered = jnp.take_along_axis(codes, jnp.maximum(idx, 0).astype(jnp.int32), axis=1)
-    comp = jnp.where(gathered > 3, jnp.uint8(4), (3 ^ gathered).astype(jnp.uint8))
-    return jnp.where(valid, comp, jnp.uint8(4))
+    # Dense formulation: flip the padded row (pad lands at the front),
+    # then left-rotate by the per-read pad width with a log-step barrel
+    # shift — all full-row selects. The obvious per-element
+    # take_along_axis gather is ~60x slower on TPU (docs/ROADMAP.md).
+    flipped = codes[:, ::-1]
+    amt = (Lmax - lengths).astype(jnp.int32)  # left-rotation per row
+    x = flipped
+    for b in range((Lmax - 1).bit_length()):
+        s = 1 << b
+        rolled = jnp.concatenate([x[:, s:], x[:, :s]], axis=1)
+        x = jnp.where(((amt >> b) & 1)[:, None] != 0, rolled, x)
+    pos = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    comp = jnp.where(x > 3, jnp.uint8(4), (3 ^ x).astype(jnp.uint8))
+    return jnp.where(pos < lengths[:, None], comp, jnp.uint8(4))
 
 
 def seed_hashes(codes: jnp.ndarray, kmer_size: int) -> jnp.ndarray:

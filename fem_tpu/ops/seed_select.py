@@ -45,14 +45,14 @@ def select_qgrams(
     NC = params.max_dp_cols
     sentinel = occurrence_table_size.astype(jnp.uint32)
 
-    # Pre-gather the scan inputs: cell (row, col) reads freqs[col+(row-1)*sl-1].
-    # freqs transposed to (NG, NL) so each needed entry is one contiguous row.
+    # Cell (row, col) reads freqs[col+(row-1)*sl-1] — a STATIC position, so
+    # each input is a plain row slice of the transposed table (an
+    # index-array gather here materialized a (NC-1, R-1, NL) tensor in HBM
+    # for no reason; static slices fuse into the sweep).
     freqs_t = freqs.astype(jnp.uint32).T  # (NGmax, NL)
-    pos_of = [
-        [min(max(col + (row - 1) * sl - 1, 0), NGmax - 1) for row in range(1, R)]
-        for col in range(1, NC)
-    ]  # (NC-1, R-1) static
-    xs = freqs_t[jnp.asarray(pos_of, dtype=jnp.int32)]  # (NC-1, R-1, NL)
+
+    def xs(col, row):  # static row slice, fused
+        return freqs_t[min(max(col + row * sl - 1, 0), NGmax - 1)]
 
     # Fully unrolled column sweep (NC <= ~40 static columns): the loop
     # body is a handful of (NL,) vector ops per row, so unrolling lets XLA
@@ -66,7 +66,7 @@ def select_qgrams(
         rows = [jnp.zeros((NL,), jnp.uint32)]
         decisions = [jnp.zeros((NL,), jnp.bool_)]  # row 0: never vertical
         for row in range(1, R):
-            with_new = rows[row - 1] + xs[col - 1, row - 1]  # uint32 wrap
+            with_new = rows[row - 1] + xs(col, row - 1)  # uint32 wrap
             horiz = m_prev[row]
             take_vertical = with_new < horiz
             rows.append(jnp.where(take_vertical, with_new, horiz))

@@ -73,15 +73,24 @@ def main() -> None:
     # (whose program is warm from bench.py) — pass FEM_SOAK_E=2,5,7 for all.
     batch = int(os.environ.get("FEM_SOAK_BATCH", "8192"))
 
+    # Honest error budget: reads carry up to max(e) errors (incl. indels)
+    # — the advertised capability (src/FEM_map.c:30), not an easier
+    # subset. e=7 needs >= 123 bp reads for the step-size sensitivity
+    # bound step <= L/(e+2) - k + 1 (README.md:30): default 150 there.
+    read_len = int(os.environ.get(
+        "FEM_SOAK_READ_LEN", "150" if max(es) >= 7 else "100"
+    ))
+    max_errors = int(os.environ.get("FEM_SOAK_MAX_ERRORS", str(max(es))))
     t0 = time.time()
     seqs = sim.satellite_genome(
         int(genome_mb * 1e6), num_seqs=2, seed=13, satellite_fraction=0.03,
         unit_range=(24, 160), copies_range=(48, 512),
     )
-    reads = sim.simulate_reads(seqs, num_reads, read_length=100,
-                               max_errors=3, seed=14)
+    reads = sim.simulate_reads(seqs, num_reads, read_length=read_len,
+                               max_errors=max_errors, seed=14)
     print(f"[soak] setup {time.time()-t0:.0f}s: {genome_mb}Mb satellite "
-          f"genome, {num_reads} reads", file=sys.stderr)
+          f"genome, {num_reads} reads ({read_len} bp, <= {max_errors} "
+          f"errors)", file=sys.stderr)
 
     bin_ = build_baseline()
     results = []
