@@ -158,22 +158,46 @@ def generate_candidates(
         return out
 
     # read position of group coordinate p in group si is si + p*step —
-    # pure arithmetic, no selection needed; the frequency re-gathers from
-    # the table by the selected hash (344k-element gather) instead of a
-    # second NG-step select chain.
+    # pure arithmetic, no selection needed. The selected frequency comes
+    # from the ALREADY-GATHERED (NB, G, NG) freqs via the same select
+    # chain (r3 chip profile: the chain is ~1 ms where a second 344k
+    # random table gather was ~12 ms — gathers pay per element, chains
+    # are pure VPU). Only `lookup` still needs a table gather.
     start = (
         jnp.arange(G, dtype=jnp.int32)[None, :, None]
         + sel_pc * params.step_size
     )
     sel_hash = at_selected(group_hashes)
-    sfreq = jnp.take(index.freq_table, sel_hash, mode="clip").astype(jnp.int32)
-    sstart_off = jnp.take(index.lookup, sel_hash, mode="clip")
-    if index_axis is None:
-        lfreq = sfreq  # local == global on an unsharded index
+    if _stop_after == "selhash":
+        return _probe(sel_hash, start)
+    if index.csr_rows is not None:
+        # One 2-word row gather yields both CSR bounds (see
+        # DeviceIndex.csr_rows).
+        lf = jnp.take(index.csr_rows, sel_hash, mode="clip", axis=0)
+        sstart_off = lf[..., 0]
+        lfreq = lf[..., 1] - lf[..., 0]
+        if index_axis is None:
+            sfreq = lfreq  # local == global on an unsharded index
+        else:
+            # Sharded: the sort key is the GLOBAL frequency; csr_rows
+            # holds the local shard's CSR.
+            sfreq = jnp.take(
+                index.freq_table, sel_hash, mode="clip"
+            ).astype(jnp.int32)
     else:
-        lfreq = (
-            jnp.take(index.lookup, sel_hash + 1, mode="clip") - sstart_off
+        sfreq = jnp.take(index.freq_table, sel_hash, mode="clip").astype(
+            jnp.int32
         )
+        sstart_off = jnp.take(index.lookup, sel_hash, mode="clip")
+        if index_axis is None:
+            lfreq = sfreq
+        else:
+            lfreq = (
+                jnp.take(index.lookup, sel_hash + 1, mode="clip")
+                - sstart_off
+            )
+    if _stop_after == "selgather":
+        return _probe(sfreq, sstart_off, start)
     # Stable ascending sort by *global* frequency; ties keep traceback
     # order — this mirrors glibc qsort's (stable msort) behavior on the
     # 3-way comparator (src/utils.h:126-136). Bitonic network, not
@@ -223,9 +247,22 @@ def generate_candidates(
         return out
 
     within_c = c8[None, None, :] - of_seed(pfx8)  # slot offset in seed span
-    row = of_seed(off_s >> 3) + (within_c >> 3)
-    row = jnp.clip(row, 0, index.occ_rows.shape[0] - 1)
-    words = jnp.take(index.occ_rows, row, axis=0).astype(jnp.uint32)
+    row = of_seed(off_s >> 3) + (within_c >> 3)  # logical 8-pair row id
+    row = jnp.clip(row, 0, index.occ_rows.shape[0] * 8 - 1)
+    # Fetch the enclosing 128-word super-row (per-ROW gather cost makes
+    # the 8x wider row ~free — tools/gather_law.py) and extract the
+    # logical row in registers.
+    words128 = jnp.take(
+        index.occ_rows, row >> 3, mode="clip", axis=0
+    ).astype(jnp.uint32)  # (NB, G, NCH, 128)
+    sub = (row & 7)[..., None]
+    words = jax.lax.slice_in_dim(words128, 0, 16, axis=-1)
+    for t in range(1, 8):
+        words = jnp.where(
+            sub == t,
+            jax.lax.slice_in_dim(words128, 16 * t, 16 * (t + 1), axis=-1),
+            words,
+        )
     sid = words[..., 0::2].astype(jnp.int32).reshape(NB, G, CAP)
     pos = words[..., 1::2].astype(jnp.int32).reshape(NB, G, CAP)
     if _stop_after == "occgather":

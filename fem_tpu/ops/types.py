@@ -29,7 +29,12 @@ from fem_tpu.io.fastx import Reference
 class DeviceIndex(NamedTuple):
     lookup: jnp.ndarray  # (4^k + 1,) int32 CSR offsets
     freq_table: jnp.ndarray  # (4^k,) int32 lookup[h+1]-lookup[h] (one gather per query)
-    occ_rows: jnp.ndarray  # (ceil(n/8)+1, 16) uint32 — (sid,pos) pairs, 8 per 64B row
+    occ_rows: jnp.ndarray  # (Rs, 128) uint32 — (sid,pos) pairs, 64 per 512B
+    # super-row (8 logical 8-pair rows). Gather cost on this chip is per
+    # ROW and a 16-word-minor output wastes 7/8 of every (8,128) tile, so
+    # the slab fetch gathers full 128-word super-rows and extracts the
+    # 16-word logical row in registers (r3 tools/gather_law.py: same 491k
+    # row ids, (W,16) output 36.5 ms vs (W,128) 30.4 ms incl. RPC).
     ref_rows: jnp.ndarray  # (total/64, 16) uint32 — same bytes, 64B rows
     ref_offsets: jnp.ndarray  # (num_seqs,) int32 offsets into ref_flat
     ref_lengths: jnp.ndarray  # (num_seqs,) int32 chromosome lengths
@@ -44,10 +49,28 @@ class DeviceIndex(NamedTuple):
     own_start: jnp.ndarray | None = None  # (num_seqs,) int32
     own_end: jnp.ndarray | None = None  # (num_seqs,) int32
     halo_lo: jnp.ndarray | None = None  # (num_seqs,) int32
+    # (4^k, 2) int32 rows [lookup[h], lookup[h+1]]: the selected-seed
+    # attribute fetch needs BOTH the CSR start and the run length; per-ROW
+    # gather cost (tools/gather_law.py) makes one 2-word row gather half
+    # the price of two element gathers.
+    csr_rows: jnp.ndarray | None = None
 
 
 _ROW_BYTES = 64
 _ROW_WORDS = _ROW_BYTES // 4
+
+
+def pack_occ_super(
+    sid: np.ndarray, pos: np.ndarray, n_rows: int
+) -> np.ndarray:
+    """(sid, pos) u32 pairs -> (Rs, 128) super-rows covering >= n_rows
+    logical 8-pair rows (zero padded)."""
+    n = sid.shape[0]
+    n_super = -(-n_rows // 8)
+    occ_pairs = np.zeros((n_super * 64, 2), np.uint32)
+    occ_pairs[:n, 0] = sid.astype(np.uint32)
+    occ_pairs[:n, 1] = pos.astype(np.uint32)
+    return occ_pairs.reshape(n_super, 128)
 
 
 def device_index_from_host(index: FemIndex, reference: Reference) -> DeviceIndex:
@@ -61,14 +84,11 @@ def device_index_from_host(index: FemIndex, reference: Reference) -> DeviceIndex
     # 3 aligned row gathers + an in-register barrel shift (ops/verify.py).
     rows = buf.view(np.uint32).reshape(-1, _ROW_WORDS)
     # Occurrence table as interleaved (sid, pos) u32 pairs, 8 pairs per
-    # 64-byte row: the candidate slab fetch is aligned row gathers + a
-    # pair-granular barrel shift (ops/candidates.py), not element gathers.
+    # logical 64-byte row, stored as (Rs, 128) super-rows of 8 logical
+    # rows each (see DeviceIndex.occ_rows).
     n = sid.shape[0]
     n_rows = -(-n // 8) + 1
-    occ_pairs = np.zeros((n_rows * 8, 2), np.uint32)
-    occ_pairs[:n, 0] = sid.astype(np.uint32)
-    occ_pairs[:n, 1] = pos.astype(np.uint32)
-    occ_rows = occ_pairs.reshape(n_rows, 16)
+    occ_rows = pack_occ_super(sid, pos, n_rows)
     lookup_i32 = index.lookup.astype(np.int32)
     return DeviceIndex(
         lookup=jnp.asarray(lookup_i32),
@@ -78,6 +98,9 @@ def device_index_from_host(index: FemIndex, reference: Reference) -> DeviceIndex
         ref_offsets=jnp.asarray(reference.offsets.astype(np.int32)),
         ref_lengths=jnp.asarray(reference.lengths.astype(np.int32)),
         num_occurrences=jnp.asarray(np.int32(index.num_occurrences)),
+        csr_rows=jnp.asarray(
+            np.stack([lookup_i32[:-1], lookup_i32[1:]], axis=1)
+        ),
     )
 
 

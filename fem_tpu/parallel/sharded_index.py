@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from fem_tpu.index.storage import FemIndex
 from fem_tpu.io.fastx import Reference
-from fem_tpu.ops.types import DeviceIndex, FilterParams
+from fem_tpu.ops.types import DeviceIndex, FilterParams, pack_occ_super
 
 DATA_AXIS = "data"
 INDEX_AXIS = "index"
@@ -51,7 +51,8 @@ class ShardedIndex:
     halo: int  # occurrence/reference overlap beyond owned ranges (bases)
     lookup: np.ndarray  # (n, 4^k+1) int32 local CSR
     freq_table: np.ndarray  # (4^k,) int32 global frequencies
-    occ_rows: np.ndarray  # (n, max_occ_rows, 16) uint32
+    occ_rows: np.ndarray  # (n, max_super_rows, 128) uint32 super-rows
+    csr_rows: np.ndarray  # (n, 4^k, 2) int32 local [lookup[h], lookup[h+1]]
     ref_flat: np.ndarray  # (n, max_ref) uint8
     ref_rows: np.ndarray  # (n, max_ref/64, 16) uint32
     ref_offsets: np.ndarray  # (n, num_seqs) int32 — ref_flat[off + p] = chrom[p]
@@ -180,11 +181,13 @@ def build_sharded_index(
 
     max_pairs = max((p.shape[0] for p in occ_pair_lists), default=0)
     max_rows = -(-max_pairs // 8) + 1
-    occ_rows = np.zeros((num_shards, max_rows, 16), np.uint32)
+    max_super = -(-max_rows // 8)
+    occ_rows = np.zeros((num_shards, max_super, 128), np.uint32)
     for s, pairs in enumerate(occ_pair_lists):
-        buf = np.zeros((max_rows * 8, 2), np.uint32)
-        buf[: pairs.shape[0]] = pairs
-        occ_rows[s] = buf.reshape(max_rows, 16)
+        occ_rows[s] = pack_occ_super(pairs[:, 0], pairs[:, 1], max_rows)
+    csr_rows = np.stack(
+        [np.stack([lk[:-1], lk[1:]], axis=1) for lk in lookups]
+    )
 
     # Per-shard reference slices (leading + trailing sentinel gaps). Slice
     # [lo, hi) of chromosome `sid` lands at flat position `pos`, so the
@@ -234,6 +237,7 @@ def build_sharded_index(
         own_start=own_start,
         own_end=own_end,
         halo_lo=halo_lo,
+        csr_rows=csr_rows,
     )
 
 
@@ -265,7 +269,7 @@ def make_index_sharded_map_fn(
     def shard_fn(
         lookup, freq_table, occ_rows, ref_rows, ref_offsets,
         ref_lengths, num_occurrences, own_start, own_end, halo_lo,
-        packed_in, salt,
+        csr_rows, packed_in, salt,
     ):
         packed_in = jnp.roll(
             packed_in,
@@ -286,6 +290,7 @@ def make_index_sharded_map_fn(
             own_start=own_start[0],
             own_end=own_end[0],
             halo_lo=halo_lo[0],
+            csr_rows=csr_rows[0],
         )
         out = map_core(
             index, codes, lengths, params, verify_cap_per_shard, use_pallas,
@@ -343,6 +348,7 @@ def make_index_sharded_map_fn(
             P(INDEX_AXIS),  # own_start
             P(INDEX_AXIS),  # own_end
             P(INDEX_AXIS),  # halo_lo
+            P(INDEX_AXIS),  # csr_rows
             P(DATA_AXIS),  # packed reads
             P(),  # salt
         ),

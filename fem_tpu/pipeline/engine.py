@@ -481,6 +481,7 @@ class MappingEngine:
             shard(sh.own_start),
             shard(sh.own_end),
             shard(sh.halo_lo),
+            shard(sh.csr_rows),
         )
 
     def _mesh_shape(self) -> Tuple[int, int]:
