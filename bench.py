@@ -1,14 +1,22 @@
 """Benchmark: all-mapping reads/s on one chip.
 
-Config mirrors BASELINE.json config[0] (E. coli-scale genome, 100 bp
-single-end reads, k=12/step=3, group seeding) at the default e=2/a=1
-operating point (src/FEM_map.c:67-72). Synthetic deterministic genome —
-the repo ships no fixtures and the environment has no egress.
+Config mirrors the north-star operating point (BASELINE.json config 3:
+human-chr21-scale genome — synthetic 46 Mb with 30% repeat content, the
+repo ships no fixtures and the environment has no egress — 100 bp
+single-end reads carrying the full e-error budget, k=12/step=3, e=5,
+group seeding, src/FEM_map.c:67-72 flags).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` compares against the golden scalar oracle (the reference C
-binary is unbuildable here: its htslib submodule is not vendored), measured
-on a subsample of the same workload on this host.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline",
+"vs_reference_binary"}. Two CPU baselines run first on the same workload
+(before the TPU client's tunnel threads contend for this 2-core host):
+
+  * the ACTUAL reference binary, built unmodified from /root/reference/src
+    with its own flags (refbuild/build.sh: gcc -O3 -march=native), at
+    -t 1 and -t 2 (src/FEM_map.c:182-189) — `vs_reference_binary` is the
+    chip vs ONE reference thread;
+  * `fem_baseline`, our C++ reimplementation (byte-identical output,
+    ~1.6x faster than the reference per thread) — the conservative
+    `vs_baseline` denominator.
 """
 
 import json
@@ -77,19 +85,35 @@ def main() -> None:
     print(f"[bench] setup {time.time()-t0:.1f}s "
           f"(genome {genome_mb}Mb repeats={repeat_fraction}, {num_reads} reads, e={e})", file=sys.stderr)
 
-    # CPU baseline FIRST, before any TPU work: the standalone fem_baseline
-    # mapper (byte-identical semantics, single thread — the reference's
-    # default t=1 operating point src/FEM_map.c:71). Once the TPU client is
-    # up, its tunnel threads steal cycles on this 2-core host and the
-    # baseline reads 2-3x slow (r3 measured 45k/34k/16k run-to-run when
-    # this block ran last).
+    # CPU baselines FIRST, before any TPU work: once the TPU client is up,
+    # its tunnel threads steal cycles on this 2-core host and the baselines
+    # read 2-3x slow (r3 measured 45k/34k/16k run-to-run when this block
+    # ran last). Two baselines on the identical workload:
+    #   * refbuild/FEM — the ACTUAL reference binary (unmodified
+    #     /root/reference/src, its own -O3 -march=native flags), -t 1 and
+    #     -t 2 (src/FEM_map.c:182-189);
+    #   * fem_baseline — our C++ reimplementation (byte-identical records,
+    #     ~1.6x faster per thread; the conservative vs_baseline
+    #     denominator).
     baseline_rps = None
+    reference_rps = None
+    reference_t2_rps = None
     try:
         import subprocess
 
         from fem_tpu.native.build import build_baseline
 
         bin_ = build_baseline()
+        ref_bin = None
+        try:
+            out = subprocess.run(
+                [os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "refbuild", "build.sh")],
+                check=True, capture_output=True, text=True)
+            ref_bin = out.stdout.strip().splitlines()[-1]
+        except Exception as exc:
+            print(f"[bench] reference binary build failed ({exc})",
+                  file=sys.stderr)
         with tempfile.TemporaryDirectory() as d:
             fa = os.path.join(d, "ref.fa")
             fq = os.path.join(d, "reads.fq")
@@ -99,12 +123,31 @@ def main() -> None:
             sim.write_fastq(fq, reads)
             subprocess.run([bin_, "index", "12", "3", fa, ix], check=True,
                            capture_output=True)
-            t0 = time.time()
-            subprocess.run(
-                [bin_, "map", "-e", str(e), "-a", "1", "-t", "1", "--ref", fa,
-                 "--index", ix, "--read1", fq, "-o", sam],
-                check=True, capture_output=True)
-            baseline_rps = num_reads / (time.time() - t0)
+
+            def timed_map(b, t):
+                t0 = time.time()
+                subprocess.run(
+                    [b, "map", "-e", str(e), "-a", "1", "-t", str(t),
+                     "--ref", fa, "--index", ix, "--read1", fq, "-o", sam],
+                    check=True, capture_output=True)
+                return num_reads / (time.time() - t0)
+
+            if ref_bin:
+                # The index file format is bit-identical between the two
+                # builders (tests/test_reference_binary.py), so the
+                # reference binary maps from the same index.
+                try:
+                    reference_rps = timed_map(ref_bin, 1)
+                    reference_t2_rps = timed_map(ref_bin, 2)
+                    print(
+                        f"[bench] reference binary (refbuild/FEM): "
+                        f"{reference_rps:,.0f} reads/s @ -t 1, "
+                        f"{reference_t2_rps:,.0f} reads/s @ -t 2",
+                        file=sys.stderr)
+                except Exception as exc:
+                    print(f"[bench] reference binary run failed ({exc})",
+                          file=sys.stderr)
+            baseline_rps = timed_map(bin_, 1)
         print(f"[bench] fem_baseline (1 CPU thread): {baseline_rps:,.0f} reads/s",
               file=sys.stderr)
     except Exception as exc:  # pragma: no cover
@@ -211,18 +254,21 @@ def main() -> None:
                               f"{err[-800:]}", file=sys.stderr)
 
 
-    print(
-        json.dumps(
-            {
-                "metric": f"all-mapping reads/s/chip (synthetic {genome_mb}Mb "
-                f"genome, {int(repeat_fraction*100)}% repeats, 100bp SE, "
-                f"k=12 step=3 e={e} a=1)",
-                "value": round(reads_per_s, 1),
-                "unit": "reads/s",
-                "vs_baseline": round(reads_per_s / baseline_rps, 2),
-            }
-        )
-    )
+    result = {
+        "metric": f"all-mapping reads/s/chip (synthetic {genome_mb}Mb "
+        f"genome, {int(repeat_fraction*100)}% repeats, 100bp SE, "
+        f"k=12 step=3 e={e} a=1)",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / baseline_rps, 2),
+    }
+    if reference_rps:
+        result["vs_reference_binary"] = round(reads_per_s / reference_rps, 2)
+        result["reference_binary_rps"] = round(reference_rps, 1)
+    if reference_t2_rps:
+        result["vs_reference_binary_t2"] = round(
+            reads_per_s / reference_t2_rps, 2)
+    print(json.dumps(result))
 
 
 def worker(d: str, wid: int, nworkers: int) -> None:

@@ -72,6 +72,23 @@ def build_index(reference: Reference, kmer_size: int, step_size: int) -> FemInde
     )
     lookup = np.zeros(num_buckets + 1, dtype=np.uint64)
     np.cumsum(counts, out=lookup[1:])
-    if lookup[-1] >= (1 << 32):
-        raise ValueError("occurrence table exceeds uint32 CSR range")
+    check_u32_csr(int(lookup[-1]))
     return FemIndex(kmer_size, step_size, lookup.astype(np.uint32), occurrences)
+
+
+def check_u32_csr(total_occurrences: int) -> None:
+    """Loud guard on the u32 CSR ceiling (the reference stores u32 lookup
+    rows, src/index.c:77-96; our device tables are u32 too). The recorded
+    plan for larger genomes is docs/SCALE.md 'Beyond the u32 CSR
+    ceiling' — int64 global build + per-shard-LOCAL u32 offsets."""
+    if total_occurrences >= (1 << 32):
+        raise ValueError(
+            f"occurrence table ({total_occurrences:,} occurrences) exceeds "
+            "the uint32 CSR range (2^32-1). A genome this size needs the "
+            "coordinate-sharded index with per-shard-LOCAL u32 CSR offsets "
+            "(each shard's occurrence count stays < 2^32) and an int64 "
+            "global build — see docs/SCALE.md 'Beyond the u32 CSR ceiling' "
+            "for the recorded plan. Workarounds today: a larger step_size "
+            "(README.md:32 memory/sensitivity trade-off) or splitting the "
+            "reference."
+        )

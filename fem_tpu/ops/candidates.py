@@ -162,7 +162,8 @@ def generate_candidates(
     # from the ALREADY-GATHERED (NB, G, NG) freqs via the same select
     # chain (r3 chip profile: the chain is ~1 ms where a second 344k
     # random table gather was ~12 ms — gathers pay per element, chains
-    # are pure VPU). Only `lookup` still needs a table gather.
+    # are pure VPU). Only the CSR start offset still needs a table gather
+    # (one 2-word csr_rows row per selected seed on the csr_rows path).
     start = (
         jnp.arange(G, dtype=jnp.int32)[None, :, None]
         + sel_pc * params.step_size
@@ -180,14 +181,11 @@ def generate_candidates(
             sfreq = lfreq  # local == global on an unsharded index
         else:
             # Sharded: the sort key is the GLOBAL frequency; csr_rows
-            # holds the local shard's CSR.
-            sfreq = jnp.take(
-                index.freq_table, sel_hash, mode="clip"
-            ).astype(jnp.int32)
+            # holds the local shard's CSR. The global value is already in
+            # the gathered (NB, G, NG) freqs — select, don't re-gather.
+            sfreq = at_selected(freqs).astype(jnp.int32)
     else:
-        sfreq = jnp.take(index.freq_table, sel_hash, mode="clip").astype(
-            jnp.int32
-        )
+        sfreq = at_selected(freqs).astype(jnp.int32)
         sstart_off = jnp.take(index.lookup, sel_hash, mode="clip")
         if index_axis is None:
             lfreq = sfreq

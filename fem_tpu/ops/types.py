@@ -27,7 +27,10 @@ from fem_tpu.io.fastx import Reference
 
 
 class DeviceIndex(NamedTuple):
-    lookup: jnp.ndarray  # (4^k + 1,) int32 CSR offsets
+    lookup: jnp.ndarray | None  # (4^k + 1,) int32 CSR offsets; None when
+    # csr_rows is present (csr_rows carries both CSR bounds per bucket, so
+    # shipping the flat table too would burn 67 MB of HBM with no consumer
+    # on the hot path)
     freq_table: jnp.ndarray  # (4^k,) int32 lookup[h+1]-lookup[h] (one gather per query)
     occ_rows: jnp.ndarray  # (Rs, 128) uint32 — (sid,pos) pairs, 64 per 512B
     # super-row (8 logical 8-pair rows). Gather cost on this chip is per
@@ -91,7 +94,7 @@ def device_index_from_host(index: FemIndex, reference: Reference) -> DeviceIndex
     occ_rows = pack_occ_super(sid, pos, n_rows)
     lookup_i32 = index.lookup.astype(np.int32)
     return DeviceIndex(
-        lookup=jnp.asarray(lookup_i32),
+        lookup=None,  # csr_rows carries both CSR bounds (see field note)
         freq_table=jnp.asarray(np.diff(lookup_i32)),
         occ_rows=jnp.asarray(occ_rows),
         ref_rows=jnp.asarray(rows),

@@ -267,7 +267,7 @@ def make_index_sharded_map_fn(
     n_ip = mesh.shape[INDEX_AXIS]
 
     def shard_fn(
-        lookup, freq_table, occ_rows, ref_rows, ref_offsets,
+        freq_table, occ_rows, ref_rows, ref_offsets,
         ref_lengths, num_occurrences, own_start, own_end, halo_lo,
         csr_rows, packed_in, salt,
     ):
@@ -280,7 +280,7 @@ def make_index_sharded_map_fn(
         lb = packed_in[:, -4:].astype(jnp.int32)
         lengths = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
         index = DeviceIndex(
-            lookup=lookup[0],
+            lookup=None,  # csr_rows carries both local CSR bounds
             freq_table=freq_table,
             occ_rows=occ_rows[0],
             ref_rows=ref_rows[0],
@@ -338,7 +338,6 @@ def make_index_sharded_map_fn(
         shard_fn,
         mesh=mesh,
         in_specs=(
-            P(INDEX_AXIS),  # lookup
             P(),  # freq_table
             P(INDEX_AXIS),  # occ_rows
             P(INDEX_AXIS),  # ref_rows

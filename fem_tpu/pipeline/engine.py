@@ -471,7 +471,6 @@ class MappingEngine:
         shard = lambda x: self._global_put(mesh, P(INDEX_AXIS), x)
         repl = lambda x: self._global_put(mesh, P(), x)
         self._device_args = (
-            shard(sh.lookup),
             repl(sh.freq_table),
             shard(sh.occ_rows),
             shard(sh.ref_rows),

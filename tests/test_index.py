@@ -77,3 +77,23 @@ def test_split_sid_pos(small_index):
     sid, pos = small_index.split_sid_pos()
     recon = (sid.astype(np.uint64) << np.uint64(32)) | pos.astype(np.uint64)
     np.testing.assert_array_equal(recon, small_index.occurrences)
+
+
+def test_u32_csr_guard_points_at_plan():
+    """The u32 CSR ceiling fails loudly and points at the recorded
+    >u32 plan in docs/SCALE.md (VERDICT r3 item 8)."""
+    import os
+
+    import pytest
+
+    from fem_tpu.index.build import check_u32_csr
+
+    check_u32_csr((1 << 32) - 1)  # at the ceiling: fine
+    with pytest.raises(ValueError, match="Beyond the u32 CSR ceiling"):
+        check_u32_csr(1 << 32)
+    scale_md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "SCALE.md",
+    )
+    with open(scale_md) as f:
+        assert "## Beyond the u32 CSR ceiling" in f.read()

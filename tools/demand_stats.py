@@ -105,7 +105,10 @@ def main() -> None:
     complete = np.asarray(sel.complete).reshape(NB, G)
 
     gh = np.asarray(group_hashes)
-    lookup = np.asarray(dindex.lookup)
+    # dindex no longer ships the flat lookup table (csr_rows carries both
+    # CSR bounds); rebuild the flat view for the host-side stats.
+    csr = np.asarray(dindex.csr_rows)
+    lookup = np.concatenate([csr[:, 0], csr[-1:, 1]])
     freq_np = np.asarray(freqs)
     sel_pc = np.clip(sel_p, 0, NG - 1)
     bi = np.arange(NB)[:, None, None]

@@ -44,14 +44,18 @@ def main():
     dindex = device_index_from_host(index, ref)
     NB, G, NCH, CAP = 4096, 3, 8, 64
     rng = np.random.default_rng(0)
-    n_rows = dindex.occ_rows.shape[0]
+    # dindex.occ_rows is the (Rs, 128) super-row table since r3; these
+    # benchmarks measure the legacy 16-word-row formulation, so rebuild
+    # that view explicitly.
+    occ16 = jnp.asarray(np.asarray(dindex.occ_rows).reshape(-1, 16))
+    n_rows = occ16.shape[0]
     row0_np = rng.integers(0, n_rows - 2, (NB, G, NCH)).astype(np.int32)
     pair_np = (row0_np.astype(np.int64) * 8 + rng.integers(0, 8, row0_np.shape)).astype(
         np.int32
     )
     row0 = jnp.asarray(row0_np)
     pair_idx = jnp.asarray(pair_np)
-    occ_rows = dindex.occ_rows
+    occ_rows = occ16
 
     def chain(occ_rows, pair_idx):
         row0 = jnp.clip(pair_idx >> 3, 0, occ_rows.shape[0] - 2)
@@ -84,7 +88,7 @@ def main():
 
     # Variant: single wider gather (2 rows as one 32-word row view).
     occ2 = jnp.concatenate(
-        [dindex.occ_rows[:-1], dindex.occ_rows[1:]], axis=1
+        [occ16[:-1], occ16[1:]], axis=1
     )  # (n-1, 32) precomputed double-row
 
     def chain2(occ2, pair_idx):
@@ -105,7 +109,7 @@ def main():
 
     # Variant: flat element gather of the pairs (2 element-gathers per pair).
     occ_flat = jnp.asarray(
-        np.ascontiguousarray(np.asarray(dindex.occ_rows).reshape(-1))
+        np.ascontiguousarray(np.asarray(occ16).reshape(-1))
     )  # interleaved sid,pos words
 
     def elem(occ_flat, pair_idx):

@@ -48,11 +48,13 @@ def main():
     ref, index, codes, lengths = build_workload(8192, 5)
     d = device_index_from_host(index, ref)
     T = d.freq_table  # (16.7M,) u32
-    OCC = d.occ_rows  # (R, 16) u32
+    # d.occ_rows is the (Rs, 128) super-row table (8 logical 16-word rows
+    # per super-row) since r3; rebuild the legacy 16-word-row view for the
+    # "(today)"-era benchmarks and use the table itself for the 128-wide
+    # ones.
+    OCC128 = d.occ_rows  # (Rs, 128) u32
+    OCC = jnp.asarray(np.asarray(OCC128).reshape(-1, 16))  # (Rs*8, 16)
     R = OCC.shape[0]
-    OCC128 = jnp.asarray(
-        np.asarray(OCC)[: (R // 8) * 8].reshape(R // 8, 128)
-    )
     rng = np.random.default_rng(0)
 
     def mk(shape, hi):
@@ -68,7 +70,7 @@ def main():
     i_wide = mk((NB * G * S // 128, 128), H)  # 344k, minor 128
     r_cur = mk((NB, G, NCH), R - 1)  # 491k row ids, minor 10
     r_flat = mk((NB * G * NCH,), R - 1)
-    r_128 = mk((NB * G * NCH,), R // 8 - 1)
+    r_128 = mk((NB * G * NCH,), OCC128.shape[0] - 1)
 
     s = lambda x: jnp.sum(x.astype(jnp.uint32))
     bench("freq[ (NB,G,7) ]  (selgather today)", lambda i: s(jnp.take(T, i, mode="clip")), i_sel)
