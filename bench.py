@@ -98,7 +98,12 @@ def main() -> None:
     baseline_rps = None
     reference_rps = None
     reference_t2_rps = None
+    if os.environ.get("FEM_BENCH_SKIP_BASELINE") == "1":
+        # Fast-iteration mode: reuse a recorded baseline instead of the
+        # ~90 s of CPU baseline runs (official captures run them).
+        baseline_rps = float(os.environ.get("FEM_BENCH_BASELINE_RPS", "57400"))
     try:
+      if baseline_rps is None:
         import subprocess
 
         from fem_tpu.native.build import build_baseline
@@ -160,45 +165,48 @@ def main() -> None:
             golden.map_read(r.name, r.seq, r.qual)
         baseline_rps = golden_sample / (time.time() - t0)
 
-    engine = MappingEngine(
-        args, ref, index,
-        EngineConfig(batch_size=batch_size, cap_occ=cap_occ, cap_cand=cap_cand,
-                     cap_vote=cap_vote, verify_per_read=verify_per_read,
-                     accept_per_read=accept_per_read,
-                     aggregate_fetch=agg if agg > 1 else None),
-    )
+    reads_per_s = 0.0
+    if os.environ.get("FEM_BENCH_SKIP_SINGLE") != "1":
+        engine = MappingEngine(
+            args, ref, index,
+            EngineConfig(batch_size=batch_size, cap_occ=cap_occ,
+                         cap_cand=cap_cand,
+                         cap_vote=cap_vote, verify_per_read=verify_per_read,
+                         accept_per_read=accept_per_read,
+                         aggregate_fetch=agg if agg > 1 else None),
+        )
 
-    batches = [
-        _batch_from_reads(reads[i : i + batch_size])
-        for i in range(0, num_reads, batch_size)
-    ]
-    # Warmup: program compile + the one-time per-process output-transfer
-    # compiles (both the single-batch and the aggregated-fetch shapes —
-    # each first sync fetch of a new result shape costs minutes through
-    # the remote service, see docs/ROADMAP.md).
-    t0 = time.time()
-    n_warm = max(agg, 1)
-    total = MappingStats()
-    n_records = 0
-    for recs, stats in engine.map_stream(batches[:n_warm]):
-        n_records += len(recs)
-        total += stats
-    print(f"[bench] compile+warmup ({n_warm} batches) {time.time()-t0:.1f}s",
-          file=sys.stderr)
+        batches = [
+            _batch_from_reads(reads[i : i + batch_size])
+            for i in range(0, num_reads, batch_size)
+        ]
+        # Warmup: program compile + the one-time per-process output-transfer
+        # compiles (both the single-batch and the aggregated-fetch shapes —
+        # each first sync fetch of a new result shape costs minutes through
+        # the remote service, see docs/ROADMAP.md).
+        t0 = time.time()
+        n_warm = max(agg, 1)
+        total = MappingStats()
+        n_records = 0
+        for recs, stats in engine.map_stream(batches[:n_warm]):
+            n_records += len(recs)
+            total += stats
+        print(f"[bench] compile+warmup ({n_warm} batches) {time.time()-t0:.1f}s",
+              file=sys.stderr)
 
-    t0 = time.time()
-    for recs, stats in engine.map_stream(batches[n_warm:]):
-        n_records += len(recs)
-        total += stats
-    elapsed = time.time() - t0
-    mapped_reads = num_reads - n_warm * batch_size
-    reads_per_s = mapped_reads / elapsed
-    print(
-        f"[bench] {mapped_reads} reads in {elapsed:.2f}s -> {reads_per_s:,.0f} reads/s"
-        f" | stats {total.__dict__} | retried {engine.retried_reads}"
-        f" | host fallbacks {engine.fallback_reads}",
-        file=sys.stderr,
-    )
+        t0 = time.time()
+        for recs, stats in engine.map_stream(batches[n_warm:]):
+            n_records += len(recs)
+            total += stats
+        elapsed = time.time() - t0
+        mapped_reads = num_reads - n_warm * batch_size
+        reads_per_s = mapped_reads / elapsed
+        print(
+            f"[bench] {mapped_reads} reads in {elapsed:.2f}s -> {reads_per_s:,.0f} reads/s"
+            f" | stats {total.__dict__} | retried {engine.retried_reads}"
+            f" | host fallbacks {engine.fallback_reads}",
+            file=sys.stderr,
+        )
 
     # Worker-process scaling on the one real chip: the tunneled runtime
     # serializes dispatch completions per PROCESS, so N single-threaded

@@ -203,11 +203,22 @@ def generate_candidates(
     # catastrophically (r3 bisection: 41 ms of the 176 ms batch at B=8192
     # for a 7-wide 5-operand sort; the network is ~free). The distinct
     # `order` tiebreaker key makes the network's output equal the stable
-    # sort.
+    # sort. Only (key, order) ride the exchange network; the three
+    # payloads are recovered afterwards by applying the permutation
+    # `order_s` as S-step select chains — 2 arrays through 6 exchange
+    # rounds + 3 short chains instead of 5 arrays through 6 rounds.
     order = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (NB, G, S))
-    sfreq_s, _, start_s, off_s, lfreq_s = bitonic_sort_2key(
-        sfreq, order, start, sstart_off, lfreq
-    )
+    sfreq_s, order_s = bitonic_sort_2key(sfreq, order)
+
+    def at_perm(arr):  # permute (NB, G, S) by order_s via select chain
+        out = jnp.broadcast_to(arr[..., 0, None], order_s.shape)
+        for j in range(1, S):
+            out = jnp.where(order_s == j, arr[..., j, None], out)
+        return out
+
+    start_s = at_perm(start)
+    off_s = at_perm(sstart_off)
+    lfreq_s = at_perm(lfreq)
     if _stop_after == "selattr":
         return _probe(sfreq_s, start_s, off_s, lfreq_s)
 

@@ -131,18 +131,14 @@ def _filter_tail_kernel(
     # (src/filter.c:45-78): sort, then the greedy +-e scan in merged order
     # — an eviction-capable re-scan of earlier winners, exactly the
     # reference's fold.
-    m_s = jnp.concatenate(
-        [
-            cand_sid_ref[:],
-            s[:cap],
-            jnp.full((slab - cc - cap, _LANES), SENTINEL_SID, jnp.int32),
-        ],
-        axis=0,
-    )
-    m_d = jnp.concatenate(
-        [cand_pos_ref[:], d[:cap], jnp.full((slab - cc - cap, _LANES), _BIG, jnp.int32)],
-        axis=0,
-    )
+    fill = slab - cc - cap  # 0 when cc+cap is already a power of two
+    m_s_parts = [cand_sid_ref[:], s[:cap]]
+    m_d_parts = [cand_pos_ref[:], d[:cap]]
+    if fill:  # Mosaic rejects zero-size concat operands
+        m_s_parts.append(jnp.full((fill, _LANES), SENTINEL_SID, jnp.int32))
+        m_d_parts.append(jnp.full((fill, _LANES), _BIG, jnp.int32))
+    m_s = jnp.concatenate(m_s_parts, axis=0)
+    m_d = jnp.concatenate(m_d_parts, axis=0)
     m_s, m_d = _sort2(m_s, m_d)
 
     last_s = jnp.full((_LANES,), -1, jnp.int32)

@@ -406,6 +406,10 @@ class MappingEngine:
         else:
             self.tiers = tuple(self.config.tiers)
         self.retried_reads = 0  # reads remapped at tier >= 1
+        self.tier_dispatches = 0  # device dispatches at tier >= 1 (each one
+        # is a full extra program execution — the retry tax a heavy-tailed
+        # genome pays; the reference's unbounded merge pays none,
+        # src/filter.c:80-131)
         # Stream-mode retry pool + completion watermark (for checkpoints):
         # `_watermark_reads` counts the longest stream prefix whose records
         # have all been emitted, including deferred retries.
@@ -790,6 +794,9 @@ class MappingEngine:
         B = self._tier(tier).batch_size
         n = batch.num_reads
         assert n <= B, (n, B, tier)
+        if tier > 0:
+            with self._fallback_lock:
+                self.tier_dispatches += 1
         Lmax = batch.codes.shape[1]
         if batch.packed is not None and batch.packed.shape[0] == B:
             packed = batch.packed  # native reader already built the upload

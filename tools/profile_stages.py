@@ -33,6 +33,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 CACHE = "/root/.cache/fem_profile"
 
 STAGES = [
+    "nop",        # sum(codes) only: the RPC + H2D + dispatch floor
     "hash",       # RC + seed hashing + ambiguity counts
     "freqs",      # frequency-table gather over all (lane, group, seed)
     "dp",         # q-gram selection DP + traceback
@@ -127,6 +128,10 @@ def main() -> None:
 
     def prefix(stop):
         def body(di, c, l):
+            if stop == "nop":
+                return jnp.sum(c.astype(jnp.uint32)) + jnp.sum(
+                    l.astype(jnp.uint32)
+                )
             neg = reverse_complement(c, l)
             both = jnp.concatenate([c, neg], axis=0)
             lens2 = jnp.concatenate([l, l], axis=0)
