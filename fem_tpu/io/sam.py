@@ -114,17 +114,24 @@ class SamWriter:
             self._f = path_or_file
             self._owned = False
         self._buf: List[bytes] = []
+        self._buf_bytes = 0
         self._f.write(sam_header_text(names, lengths))
 
     def write_record(self, record: bytes) -> None:
         self._buf.append(record)
-        if len(self._buf) >= 4096:
+        self._buf_bytes += len(record)
+        # Byte-based flush threshold: a record may be one read's line or a
+        # whole batch's blob (the native emitter and the shadow-warm CPU
+        # path return per-batch blobs) — an item-count threshold held
+        # megabytes in memory until close.
+        if len(self._buf) >= 4096 or self._buf_bytes >= (1 << 20):
             self.flush()
 
     def flush(self) -> None:
         if self._buf:
             self._f.write(b"".join(self._buf))
             self._buf.clear()
+            self._buf_bytes = 0
 
     def tell(self) -> int:
         """Byte offset of the flushed stream (checkpoint bookkeeping)."""

@@ -225,6 +225,12 @@ def map_main(argv: list[str]) -> int:
                    help="write pipeline metrics + counters as JSON")
     p.add_argument("--checkpoint", default=None,
                    help="progress file enabling resume after interruption")
+    p.add_argument("--no-warm-shadow", action="store_true",
+                   help="disable CPU shadow mapping of the stream head "
+                        "while the device pipeline warms (the per-process "
+                        "program load + output-transfer refit through the "
+                        "remote TPU runtime costs minutes; shadow mode "
+                        "emits the first records in seconds instead)")
     p.add_argument("--verbose-batches", action="store_true",
                    help="log per-batch mapping time (reference map.c:57)")
     p.add_argument("--num-hosts", type=int, default=1,
@@ -451,13 +457,32 @@ def map_main(argv: list[str]) -> int:
                     index_mesh=index_mesh, **tune,
                 ),
             )
+            # One-shot CLI process: if the stream ends while the shadow
+            # warm's RPCs are still in flight, don't block exit on them —
+            # main() leaves via os._exit (see engine._map_stream_shadow).
+            engine.abandon_warm_on_exit = True
+            global _hard_exit_engine
+            _hard_exit_engine = engine
             source = ThreadedBatchSource(batches())
             bt = Timer()
             # Checkpointing needs read-order output (see map_stream); the
             # watermark then equals the reads whose records this loop has
             # already written, and the flushed byte offset pairs with it.
+            # Shadow-warm only pays when the stream outlasts the device
+            # warm (200-500 s): a stream that ends mid-warm must WAIT for
+            # the un-abortable warm RPCs before the process can exit. The
+            # ~64 MB input-size gate (~250k reads) keeps short runs on
+            # the plain path.
+            try:
+                big_input = os.path.getsize(args.read1) > 64 * 1024 * 1024
+            except OSError:
+                big_input = False
+            if big_input and not args.no_warm_shadow:
+                print("Shadow-warm: CPU-mapping the stream head while the "
+                      "device pipeline warms.", file=sys.stderr)
             for recs, stats in engine.map_stream(
-                source, ordered=ckpt_path is not None
+                source, ordered=ckpt_path is not None,
+                shadow_warm=big_input and not args.no_warm_shadow,
             ):
                 write_chunks(recs)
                 total += stats
@@ -543,7 +568,17 @@ def main(argv: list[str] | None = None) -> int:
             f"CPU: {_cpu_time() - cpu0:.3f} sec",
             file=sys.stderr,
         )
+    if _hard_exit_engine is not None and _hard_exit_engine.needs_hard_exit:
+        # The shadow warm's remote RPCs are still in flight; normal
+        # interpreter teardown would abort inside the runtime client.
+        # Outputs are already closed/flushed above — leave directly.
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os._exit(rc)
     return rc
+
+
+_hard_exit_engine = None
 
 
 if __name__ == "__main__":

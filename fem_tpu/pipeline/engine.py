@@ -406,6 +406,9 @@ class MappingEngine:
         else:
             self.tiers = tuple(self.config.tiers)
         self.retried_reads = 0  # reads remapped at tier >= 1
+        self.shadow_reads = 0  # reads CPU-mapped while the device warmed
+        self.abandon_warm_on_exit = False  # see _map_stream_shadow finally
+        self.needs_hard_exit = False
         self.tier_dispatches = 0  # device dispatches at tier >= 1 (each one
         # is a full extra program execution — the retry tax a heavy-tailed
         # genome pays; the reference's unbounded merge pays none,
@@ -1206,8 +1209,23 @@ class MappingEngine:
         return self.drain_batch(self.submit_batch(batch))
 
     def map_stream(self, batches, depth: int | None = None,
-                   ordered: bool = False):
+                   ordered: bool = False, shadow_warm: bool = False,
+                   _consumed_base: int = 0):
         """Map a stream of batches keeping `depth` batch groups in flight.
+
+        With `shadow_warm`, the stream head is mapped by the exact
+        in-process C++ CPU mapper while a background thread warms the
+        device (compile-cache load + the per-process output-transfer
+        refit, a 200-500 s stall through the remote TPU runtime even with
+        a warm persistent cache — tools/coldstart_probe.py); the stream
+        switches to the device pipeline at the first batch boundary after
+        the warm completes. First mapped records appear in seconds
+        instead of minutes (the reference maps its first read
+        milliseconds after index load, src/FEM_map.c:136-174 — this is
+        the TPU-native answer to that cold-start gap). The warm thread is
+        the ONLY device user until it finishes, so the r3
+        concurrent-compile crash mode cannot trigger. Requires the native
+        CPU mapper; silently falls back to the normal path without it.
 
         With `ordered`, capacity-overflow reads are remapped synchronously
         inside each batch's drain and their records spliced back in read
@@ -1234,6 +1252,17 @@ class MappingEngine:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        if (
+            shadow_warm
+            and self._cpu_mapper is not None
+            and self.config.mesh is None
+            and self.config.index_mesh is None  # mesh dispatches must stay
+            # in lockstep across processes — no per-process shadow warms
+            and _consumed_base == 0
+        ):
+            yield from self._map_stream_shadow(batches, depth, ordered)
+            return
+
         depth = depth or self.config.pipeline_depth
         agg = self.config.aggregate_fetch or 1
         if self._mesh_shape() != (1, 1):
@@ -1247,7 +1276,8 @@ class MappingEngine:
             if self.tiers and not ordered and not self._cross_host
             else 0
         )
-        self.consumed_reads = 0  # stream position of the last consumed item
+        self.consumed_reads = _consumed_base  # stream position of the last
+        # consumed item (base > 0 when resuming after a shadow-warm head)
 
         def drain_group(group, flat):
             host = np.asarray(flat).reshape(-1)
@@ -1360,6 +1390,93 @@ class MappingEngine:
                         flush_retries(1)
         finally:
             self._retry_pool = None
+
+    def _map_stream_shadow(self, batches, depth, ordered):
+        """Shadow-warm stream: CPU-map the head, device-map the tail.
+
+        The background thread performs the full device warm (tier-0
+        program compile/load, one probe dispatch + fetch — absorbing the
+        per-process output-transfer refit — then the tier programs);
+        until it signals ready, batches are mapped exactly by the native
+        C++ mapper and yielded immediately. Counters and records are
+        exact either way (the CPU mapper is byte-identical to the golden
+        oracle and the reference binary); `shadow_reads` counts how many
+        reads took the CPU path. Watermark/consumed accounting treats a
+        CPU-mapped batch as complete at yield time."""
+        import itertools
+        import threading
+
+        it = iter(batches)
+        first = next(it, None)
+        if first is None:
+            return
+        Lmax = first.codes.shape[1] if first.codes is not None else 128
+        ready = threading.Event()
+
+        def warm():
+            try:
+                B = self.config.batch_size
+                fn, _ = self._fn_for(B, Lmax, 0)
+                args = self._probe_args(B, Lmax, iters=1)[0]
+                np.asarray(fn(*args, jnp.uint32(0)))  # exec + refit warm
+                self.warm_tiers(Lmax)
+            except Exception:
+                pass  # warm is best-effort; the normal path still works
+            finally:
+                ready.set()
+
+        warm_thread = None
+        if not self._on_tpu:
+            ready.set()  # off-TPU compiles are fast; no shadow needed
+
+        try:
+            remaining = None
+            for batch in itertools.chain([first], it):
+                if ready.is_set():
+                    remaining = itertools.chain([batch], it)
+                    break
+                blob, st = self._cpu_mapper.map_reads(
+                    batch.names, batch.seqs, batch.quals
+                )
+                stats = MappingStats(
+                    num_reads=int(st[0]),
+                    num_mapped_reads=int(st[1]),
+                    num_candidates_without_additional_qgram_filter=int(st[2]),
+                    num_candidates=int(st[3]),
+                    num_mappings=int(st[4]),
+                )
+                self.shadow_reads += batch.num_reads
+                self.consumed_reads += batch.num_reads
+                yield ([blob] if blob else []), stats
+                with self._pool_lock:
+                    self._watermark_reads += batch.num_reads
+                if warm_thread is None and self._on_tpu:
+                    # Start the device warm only once the CPU path is
+                    # rolling: a stream that ends before the warm does
+                    # would otherwise tear the process down mid-RPC (the
+                    # runtime client aborts with std::terminate).
+                    warm_thread = threading.Thread(target=warm, daemon=True)
+                    warm_thread.start()
+            if remaining is not None:
+                yield from self.map_stream(
+                    remaining, depth, ordered,
+                    _consumed_base=self.consumed_reads,
+                )
+        finally:
+            if warm_thread is not None and warm_thread.is_alive():
+                # Stream ended (or consumer bailed) while the warm RPCs
+                # are in flight. They cannot be aborted — only awaited —
+                # and letting normal interpreter teardown run with the
+                # RPC mid-flight aborts the process (the runtime client
+                # std::terminates). Library default: join (safe, but
+                # blocks up to the warm time). A CLI that is about to
+                # exit sets `abandon_warm_on_exit` instead and must leave
+                # via os._exit after flushing its outputs, which skips
+                # the C++ teardown that would abort.
+                if self.abandon_warm_on_exit:
+                    self.needs_hard_exit = True
+                else:
+                    warm_thread.join()
 
     def _agg_fn(self, n: int):
         key = n

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from fem_tpu import sim
-from fem_tpu.golden.model import GoldenMapper
+from fem_tpu.golden.model import GoldenMapper, MappingStats
 from fem_tpu.io.fastx import ReadBatch
 from fem_tpu.pipeline.engine import EngineConfig, MappingEngine
 
@@ -102,3 +102,52 @@ def test_engine_repeat_read_all_mappings(engine_world):
     grecs, _ = golden.map_reads(batch.names, batch.seqs, batch.quals)
     assert b"".join(recs) == b"".join(grecs)
     assert b"".join(recs).count(b"\n") >= 2  # both repeat copies reported
+
+
+def test_shadow_warm_stream_matches_golden(engine_world):
+    """shadow_warm: the stream head is CPU-mapped while the device warms;
+    records and counters stay exact and the switch-over loses nothing."""
+    import time
+
+    seqs, engine, golden = engine_world
+    if engine._cpu_mapper is None:
+        import pytest
+
+        pytest.skip("native CPU mapper unavailable")
+    reads = sim.simulate_reads(seqs, 256, read_length=100, max_errors=2,
+                               seed=77)
+    batches = [_batch_from_reads(reads[i : i + 64]) for i in range(0, 256, 64)]
+    grecs, gstats = golden.map_reads(
+        [r.name for r in reads], [r.seq for r in reads],
+        [r.qual for r in reads],
+    )
+
+    # Force a slow warm so at least one batch takes the CPU path even on
+    # fast CPU compiles (the warm thread gates on _fn_for).
+    engine.shadow_reads = 0
+    real_fn_for = engine._fn_for
+
+    def slow_fn_for(*a, **k):
+        time.sleep(1.0)
+        return real_fn_for(*a, **k)
+
+    engine._fn_for = slow_fn_for
+    engine._on_tpu = True  # take the threaded warm path on the CPU backend
+    try:
+        recs = []
+        total = MappingStats()
+        for r, st in engine.map_stream(iter(batches), shadow_warm=True):
+            recs.extend(r)
+            total += st
+    finally:
+        engine._fn_for = real_fn_for
+        engine._on_tpu = False
+    assert engine.shadow_reads > 0, "no batch took the CPU shadow path"
+    assert sorted(b"".join(recs).split(b"\n")) == sorted(
+        b"".join(grecs).split(b"\n")
+    )
+    assert total.num_reads == gstats.num_reads
+    assert total.num_mappings == gstats.num_mappings
+    assert total.num_candidates == gstats.num_candidates
+    assert engine.consumed_reads == 256
+    assert engine.watermark_reads >= engine.shadow_reads
