@@ -514,6 +514,7 @@ def map_main(argv: list[str]) -> int:
     if args.engine == "device":
         metrics.fallback_reads = engine.fallback_reads
         metrics.retried_reads = engine.retried_reads
+        metrics.shadow_reads = engine.shadow_reads
 
     # Cross-host counter rollup (the reference's per-thread stats merge at
     # join, src/FEM_map.c:200-212, as one allgather over all hosts).

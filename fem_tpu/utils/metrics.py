@@ -38,6 +38,7 @@ class PipelineMetrics:
     records: int = 0
     fallback_reads: int = 0  # exact-host-mapper reads (past the last tier)
     retried_reads: int = 0  # reads remapped at retry tiers >= 1
+    shadow_reads: int = 0  # reads CPU-mapped while the device warmed
     wall_submit_s: float = 0.0
     wall_drain_s: float = 0.0
     wall_total_s: float = 0.0
