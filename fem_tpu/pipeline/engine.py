@@ -502,7 +502,13 @@ class MappingEngine:
     def _default_tiers(self) -> tuple:
         """Auto retry ladder above tier 0: ~8x caps at 1/16 batch, then a
         64-read heavy-tail tier. Programs compile lazily (first overflow)
-        and hit the persistent compile cache afterwards."""
+        and hit the persistent compile cache afterwards.
+
+        FEM_TPU_TIERS overrides the ladder: semicolon-separated rungs of
+        "batch:cap_occ:cap_cand:verify_per_read:accept_per_read" — the
+        tuning knob for heavy-tailed genomes where the retry tax
+        dominates (satellite soak r4: 6% retried reads cost ~10x
+        throughput under the default ladder)."""
         c = self.config
         n_dp, _ = self._mesh_shape()
 
@@ -511,6 +517,18 @@ class MappingEngine:
 
         def cap8(x):  # occurrence slabs are 8-slot-chunk aligned
             return -(-x // 8) * 8
+
+        env = os.environ.get("FEM_TPU_TIERS")
+        if env:
+            rungs = []
+            for spec in env.split(";"):
+                b, occ, cand, vpr, apr = (int(x) for x in spec.split(":"))
+                rungs.append(TierConfig(
+                    batch_size=align(b), cap_occ=cap8(occ),
+                    cap_cand=cap8(cand), verify_per_read=vpr,
+                    accept_per_read=apr,
+                ))
+            return tuple(rungs)
 
         t1 = TierConfig(
             batch_size=align(min(c.batch_size, 512)),
