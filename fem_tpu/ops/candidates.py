@@ -171,29 +171,22 @@ def generate_candidates(
     sel_hash = at_selected(group_hashes)
     if _stop_after == "selhash":
         return _probe(sel_hash, start)
-    if index.csr_rows is not None:
-        # One 2-word row gather yields both CSR bounds (see
-        # DeviceIndex.csr_rows).
-        lf = jnp.take(index.csr_rows, sel_hash, mode="clip", axis=0)
-        sstart_off = lf[..., 0]
-        lfreq = lf[..., 1] - lf[..., 0]
-        if index_axis is None:
-            sfreq = lfreq  # local == global on an unsharded index
-        else:
-            # Sharded: the sort key is the GLOBAL frequency; csr_rows
-            # holds the local shard's CSR. The global value is already in
-            # the gathered (NB, G, NG) freqs — select, don't re-gather.
-            sfreq = at_selected(freqs).astype(jnp.int32)
+    # Both DeviceIndex constructors build csr_rows (types.py keeps
+    # lookup=None); the contract is explicit here rather than carrying a
+    # dead lookup-gather branch.
+    assert index.csr_rows is not None, "DeviceIndex must carry csr_rows"
+    # One 2-word row gather yields both CSR bounds (see
+    # DeviceIndex.csr_rows).
+    lf = jnp.take(index.csr_rows, sel_hash, mode="clip", axis=0)
+    sstart_off = lf[..., 0]
+    lfreq = lf[..., 1] - lf[..., 0]
+    if index_axis is None:
+        sfreq = lfreq  # local == global on an unsharded index
     else:
+        # Sharded: the sort key is the GLOBAL frequency; csr_rows
+        # holds the local shard's CSR. The global value is already in
+        # the gathered (NB, G, NG) freqs — select, don't re-gather.
         sfreq = at_selected(freqs).astype(jnp.int32)
-        sstart_off = jnp.take(index.lookup, sel_hash, mode="clip")
-        if index_axis is None:
-            lfreq = sfreq
-        else:
-            lfreq = (
-                jnp.take(index.lookup, sel_hash + 1, mode="clip")
-                - sstart_off
-            )
     if _stop_after == "selgather":
         return _probe(sfreq, sstart_off, start)
     # Stable ascending sort by *global* frequency; ties keep traceback

@@ -41,24 +41,16 @@ def make_sharded_map_fn(
     use_pallas: bool,
     accept_cap: int = 4096,
     axis: str = DATA_AXIS,
-    nonce: int = 0,
 ):
     """Build a jitted, shard_mapped full mapping step.
 
-    Inputs: (index replicated, codes/lengths sharded on the batch axis,
-    `salt` — a runtime-zero scalar whose nonce-dependent use re-keys the
-    compilation cache; see MappingEngine._compile_with_reroll).
+    Inputs: (index replicated, codes/lengths sharded on the batch axis).
     Outputs: verify slabs concatenated across shards (lane ids globalized),
     per-read arrays in global batch order, and psum'd scalar totals.
     """
     n = mesh.shape[axis]
 
-    def shard_fn(index: DeviceIndex, packed_in: jnp.ndarray, salt: jnp.ndarray):
-        packed_in = jnp.roll(
-            packed_in,
-            (salt & jnp.uint32(1 + nonce)).astype(jnp.int32),
-            axis=0,
-        )
+    def shard_fn(index: DeviceIndex, packed_in: jnp.ndarray):
         codes = packed_in[:, :-4]
         lb = packed_in[:, -4:].astype(jnp.int32)
         lengths = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
@@ -82,7 +74,7 @@ def make_sharded_map_fn(
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis), P()),
+        in_specs=(P(), P(axis)),
         out_specs=P(axis),
         check_vma=False,
     )

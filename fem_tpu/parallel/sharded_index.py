@@ -247,12 +247,10 @@ def make_index_sharded_map_fn(
     verify_cap_per_shard: int,
     accept_cap_per_shard: int,
     use_pallas: bool,
-    nonce: int = 0,
     gather_rows: bool = False,
 ):
     """shard_map over a ('data', 'index') mesh: reads sharded on `data`,
     index pieces sharded on `index`, full mapping step per device.
-    `salt`/`nonce` re-key the compile cache (MappingEngine._compile_with_reroll).
 
     With `gather_rows` (the cross-host mode), each data row's per-index-
     shard packed segments all_gather over the index axis *inside* the
@@ -269,13 +267,8 @@ def make_index_sharded_map_fn(
     def shard_fn(
         freq_table, occ_rows, ref_rows, ref_offsets,
         ref_lengths, num_occurrences, own_start, own_end, halo_lo,
-        csr_rows, packed_in, salt,
+        csr_rows, packed_in,
     ):
-        packed_in = jnp.roll(
-            packed_in,
-            (salt & jnp.uint32(1 + nonce)).astype(jnp.int32),
-            axis=0,
-        )
         codes = packed_in[:, :-4]
         lb = packed_in[:, -4:].astype(jnp.int32)
         lengths = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
@@ -349,7 +342,6 @@ def make_index_sharded_map_fn(
             P(INDEX_AXIS),  # halo_lo
             P(INDEX_AXIS),  # csr_rows
             P(DATA_AXIS),  # packed reads
-            P(),  # salt
         ),
         out_specs=P(DATA_AXIS) if gather_rows else P((DATA_AXIS, INDEX_AXIS)),
         check_vma=False,

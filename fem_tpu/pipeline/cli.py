@@ -192,7 +192,7 @@ def _map_parent_workers(args, argv: list[str]) -> int:
     return 0
 
 
-def map_main(argv: list[str]) -> int:
+def map_main(argv: list[str], allow_hard_exit: bool = False) -> int:
     p = argparse.ArgumentParser(prog="fem map", add_help=True)
     p.add_argument("-e", type=int, default=2, help="error threshold")
     p.add_argument("-t", type=int, default=1, help="number of threads")
@@ -457,10 +457,12 @@ def map_main(argv: list[str]) -> int:
                     index_mesh=index_mesh, **tune,
                 ),
             )
-            # One-shot CLI process: if the stream ends while the shadow
-            # warm's RPCs are still in flight, don't block exit on them —
-            # main() leaves via os._exit (see engine._map_stream_shadow).
-            engine.abandon_warm_on_exit = True
+            # One-shot CLI process (script guard): if the stream ends
+            # while the shadow warm's RPCs are still in flight, don't block
+            # exit on them — main() leaves via os._exit (see
+            # engine._map_stream_shadow). Programmatic callers instead join
+            # the warm thread in the stream's finally (safe, can block).
+            engine.abandon_warm_on_exit = allow_hard_exit
             global _hard_exit_engine
             _hard_exit_engine = engine
             source = ThreadedBatchSource(batches())
@@ -539,7 +541,13 @@ def map_main(argv: list[str]) -> int:
     return 0
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, allow_hard_exit: bool = False) -> int:
+    """CLI entry. `allow_hard_exit` is set only by the script guards
+    (__main__ here and fem_tpu/__main__.py): an abandoned shadow warm
+    (engine._map_stream_shadow) can only be escaped via os._exit, which
+    would also kill programmatic callers (tests, wrappers) — those get a
+    normal return (and block on the warm RPCs in the stream's finally
+    instead)."""
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         print(
@@ -555,7 +563,7 @@ def main(argv: list[str] | None = None) -> int:
     if cmd == "index":
         rc = index_main(rest)
     elif cmd == "map":
-        rc = map_main(rest)
+        rc = map_main(rest, allow_hard_exit=allow_hard_exit)
     else:
         print(f"[main] unrecognized command '{cmd}'", file=sys.stderr)
         return 1
@@ -583,4 +591,4 @@ _hard_exit_engine = None
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(allow_hard_exit=True))

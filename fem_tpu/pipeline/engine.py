@@ -339,22 +339,11 @@ def unpack_outputs(flat: np.ndarray, acc_cap: int, NB: int, nshards: int) -> dic
 
 def _make_device_fn(
     params: FilterParams, verify_cap: int, accept_cap: int, use_pallas: bool,
-    nonce: int = 0,
 ):
     @jax.jit
-    def run(index: DeviceIndex, packed_in: jnp.ndarray, salt: jnp.ndarray):
+    def run(index: DeviceIndex, packed_in: jnp.ndarray):
         # packed_in: (B, Lmax + 4) uint8 — codes row followed by the read
         # length as 4 little-endian bytes (single H2D transfer).
-        #
-        # `salt` is a runtime zero; the roll below is a no-op. Its real job
-        # is the `nonce` constant: the remote TPU compiler's code quality
-        # is nondeterministic per compilation (the same program compiles to
-        # 0.2 ms or 40 ms per batch), so the engine probes each compile and
-        # re-rolls bad ones by bumping `nonce`, which re-keys the
-        # compilation cache (see _compile_with_reroll / docs/ROADMAP.md).
-        packed_in = jnp.roll(
-            packed_in, (salt & jnp.uint32(1 + nonce)).astype(jnp.int32), axis=0
-        )
         codes = packed_in[:, :-4]
         lb = packed_in[:, -4:].astype(jnp.int32)
         lengths = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
@@ -364,6 +353,31 @@ def _make_device_fn(
         return pack_outputs(out)
 
     return run
+
+
+_transfer_warmed = False
+
+
+def warm_transfer_path() -> None:
+    """One-time per-process D2H transfer warm: fetch a TINY (8, 128) u32
+    array through a jitted identity before any real output is fetched.
+
+    The tunneled TPU runtime pays a one-time per-process setup on the
+    FIRST synchronous device->host fetch, and its cost scales with the
+    first-fetched shape: (784, 128) u32 first = 72-87 s, (8, 128) first =
+    0.2 s — and after ANY first fetch, every other shape (including the
+    map program's packed output) fetches at the steady ~25 ms RPC floor
+    (r5 probes, docs/ROADMAP.md; was the 260 s 'output-transfer refit' of
+    the r4 cold-start bisection, tools/coldstart_probe.py). The reference
+    binary's cold start is just the index load (src/FEM_map.c:136-174);
+    this brings the per-process device warm within sight of that."""
+    global _transfer_warmed
+    if _transfer_warmed or jax.devices()[0].platform != "tpu":
+        _transfer_warmed = True
+        return
+    _transfer_warmed = True
+    out = jax.jit(lambda x: x | jnp.uint32(0))(jnp.zeros((8, 128), jnp.uint32))
+    np.asarray(out)
 
 
 class MappingEngine:
@@ -384,6 +398,7 @@ class MappingEngine:
         if reference.num_seqs > 65535:
             raise ValueError("references with > 65535 sequences unsupported")
         self.golden = GoldenMapper(args, reference, index)
+        warm_transfer_path()  # must precede the first real output fetch
         self.dindex = device_index_from_host(index, reference)
         if self.config.use_pallas is None:
             self.config.use_pallas = jax.devices()[0].platform == "tpu"
@@ -394,7 +409,6 @@ class MappingEngine:
         self._fns: Dict[Tuple[int, int, int], callable] = {}
         self._agg_fns: Dict[int, callable] = {}
         self._on_tpu = jax.devices()[0].platform == "tpu"
-        self._salt = None  # lazily-created runtime zero (see _make_device_fn)
         import threading
 
         self._fallback_lock = threading.Lock()
@@ -521,13 +535,22 @@ class MappingEngine:
         env = os.environ.get("FEM_TPU_TIERS")
         if env:
             rungs = []
-            for spec in env.split(";"):
-                b, occ, cand, vpr, apr = (int(x) for x in spec.split(":"))
-                rungs.append(TierConfig(
-                    batch_size=align(b), cap_occ=cap8(occ),
-                    cap_cand=cap8(cand), verify_per_read=vpr,
-                    accept_per_read=apr,
-                ))
+            try:
+                for spec in env.split(";"):
+                    b, occ, cand, vpr, apr = (int(x) for x in spec.split(":"))
+                    if min(b, occ, cand, vpr, apr) < 1:
+                        raise ValueError("all fields must be >= 1")
+                    rungs.append(TierConfig(
+                        batch_size=align(b), cap_occ=cap8(occ),
+                        cap_cand=cap8(cand), verify_per_read=vpr,
+                        accept_per_read=apr,
+                    ))
+            except ValueError as exc:
+                raise ValueError(
+                    f"FEM_TPU_TIERS={env!r} is malformed ({exc}); expected "
+                    "semicolon-separated rungs of "
+                    "'batch:cap_occ:cap_cand:verify_per_read:accept_per_read'"
+                ) from exc
             return tuple(rungs)
 
         t1 = TierConfig(
@@ -559,7 +582,7 @@ class MappingEngine:
             )
         return self.tiers[tier - 1]
 
-    def _make_fn(self, batch_size: int, max_len: int, nonce: int, tier: int = 0):
+    def _make_fn(self, batch_size: int, max_len: int, tier: int = 0):
         tc = self._tier(tier)
         params = FilterParams.from_args(
             self.args,
@@ -592,7 +615,6 @@ class MappingEngine:
                 verify_cap // (n_dp * n_ip),
                 max(accept_cap // (n_dp * n_ip), 8),
                 self.config.use_pallas,
-                nonce=nonce,
                 gather_rows=self._cross_host,
             )
         elif self.config.mesh is not None:
@@ -610,12 +632,10 @@ class MappingEngine:
             fn = make_sharded_map_fn(
                 self.config.mesh, params, verify_cap // n,
                 self.config.use_pallas, accept_cap=accept_cap // n,
-                nonce=nonce,
             )
         else:
             fn = _make_device_fn(
                 params, verify_cap, accept_cap, self.config.use_pallas,
-                nonce=nonce,
             )
         return fn, verify_cap
 
@@ -647,126 +667,10 @@ class MappingEngine:
                 out.append((self.dindex, jnp.asarray(packed)))
         return out
 
-    @staticmethod
-    def _probe_ms(fn, args_list) -> float:
-        """Per-dispatch time of a compiled program: one call at a time on a
-        distinct input batch, FETCHED before the next. The tunneled
-        runtime is lazy (a blocked-but-unconsumed output may never
-        execute) and value-caches repeated (program, input) pairs, so
-        only fetch-per-call on distinct batches measures real execution.
-        NOTE: the first fetch of a program's output shape pays a one-time
-        transfer compile (minutes for the map program) — the warm call
-        here absorbs it, which is also what makes re-rolls expensive;
-        keep FEM_TPU_COMPILE_ROLLS modest."""
-        import time
-
-        salt = jnp.uint32(0)
-        # Warm on the last batch; time the others (a repeat of the warm
-        # batch would be served from the value cache).
-        np.asarray(fn(*args_list[-1], salt))
-        timed = args_list[:-1]
-        t0 = time.perf_counter()
-        for args in timed:
-            np.asarray(fn(*args, salt))
-        return (time.perf_counter() - t0) / len(timed) * 1e3
-
-    def _compile_with_reroll(self, batch_size: int, max_len: int, tier: int = 0):
-        """Compile the device program, probe it, and re-roll bad compiles.
-
-        The remote TPU compile service produces nondeterministic code
-        quality: the identical mapping program compiles to ~0.2-0.7 ms or
-        ~40 ms per 2048-read batch run-to-run. Each `nonce` folds a
-        different constant into the program, re-keying the persistent
-        compilation cache for an independent roll. The winning nonce is
-        remembered in a sidecar file so later processes load the good
-        artifact directly."""
-        # r2 forced-fetch probes measured nonces 0-3 within 1% of each
-        # other at the bench shape — r1's "compile lottery" was a lazy-
-        # runtime measurement artifact, so re-rolling is off by default
-        # (each roll costs a compile + a multi-minute first-fetch transfer
-        # warm). FEM_TPU_COMPILE_ROLLS>1 re-enables probing.
-        rolls = int(os.environ.get("FEM_TPU_COMPILE_ROLLS", "1"))
-        on_tpu = jax.devices()[0].platform == "tpu"
-        mesh = self.config.index_mesh or self.config.mesh
-        crosses_hosts = mesh is not None and any(
-            d.process_index != jax.process_index() for d in mesh.devices.flat
-        )
-        if not on_tpu or rolls <= 1 or crosses_hosts:
-            # Off-TPU compiles are deterministic; cross-host meshes cannot
-            # probe independently (every process must join each dispatch).
-            return self._make_fn(batch_size, max_len, 0, tier)
-        # The probe time includes the per-dispatch result shipping over the
-        # tunneled link (~25 ms fixed + output bytes at ~10 MB/s), which no
-        # compile can remove — the threshold only needs to catch
-        # pathological code above that floor.
-        tc = self._tier(tier)
-        n_dp, n_ip = self._mesh_shape()
-        acc_cap = max(
-            max(2 * batch_size * tc.accept_per_read, 64)
-            // (n_dp * n_ip),
-            8,
-        )
-        seg_kb = packed_segment_size(acc_cap, 2 * batch_size // n_dp) * 4 / 1024
-        default_ms = 28.0 + 3.0 * batch_size / 2048 + seg_kb / 10.0
-        threshold = float(
-            os.environ.get("FEM_TPU_COMPILE_THRESHOLD_MS", default_ms)
-        )
-        cache_dir = jax.config.jax_compilation_cache_dir
-        sidecar = os.path.join(cache_dir, "fem_tpu_nonces.json") if cache_dir else None
-        key = (
-            f"v{getattr(__import__('fem_tpu'), '__version__', '0')}|"
-            f"B{batch_size}|L{max_len}|e{self.args.error_threshold}|"
-            f"a{self.args.num_additional_qgrams}|k{self.args.kmer_size}|"
-            f"s{self.args.step_size}|occ{tc.cap_occ}|cv{tc.cap_vote}|"
-            f"cc{tc.cap_cand}|v{tc.verify_per_read}|"
-            f"ac{tc.accept_per_read}|p{int(self.config.use_pallas)}|"
-            f"m{self._mesh_shape()}"
-        )
-        known = {}
-        if sidecar and os.path.exists(sidecar):
-            try:
-                import json
-
-                with open(sidecar) as f:
-                    known = json.load(f)
-            except Exception:
-                known = {}
-        order = list(range(rolls))
-        if key in known:
-            n0 = int(known[key])
-            order = [n0] + [n for n in order if n != n0]
-        probe_args = self._probe_args(batch_size, max_len, iters=4)
-        best = None
-        import sys as _sys
-
-        for nonce in order:
-            fn, verify_cap = self._make_fn(batch_size, max_len, nonce, tier)
-            ms = self._probe_ms(fn, probe_args)
-            print(
-                f"[fem_tpu] device program roll {nonce}: {ms:.2f} ms/batch",
-                file=_sys.stderr,
-            )
-            if best is None or ms < best[2]:
-                best = (fn, verify_cap, ms, nonce)
-            if ms <= threshold:
-                break
-        if sidecar:
-            try:
-                import json
-
-                known[key] = best[3]
-                tmp = sidecar + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(known, f, indent=1)
-                os.replace(tmp, sidecar)
-            except Exception:
-                pass
-        return best[0], best[1]
-
     def _fn_for(self, batch_size: int, max_len: int, tier: int = 0):
         key = (batch_size, max_len, tier)
         if key not in self._fns:
-            self._fns[key] = self._compile_with_reroll(batch_size, max_len, tier)
+            self._fns[key] = self._make_fn(batch_size, max_len, tier)
         return self._fns[key]
 
     def warm_tiers(self, max_len: int) -> None:
@@ -801,7 +705,7 @@ class MappingEngine:
                 B_t = self._tier(t).batch_size
                 fn, _ = self._fn_for(B_t, Lmax_t, t)
                 args = self._probe_args(B_t, Lmax_t, iters=1)[0]
-                np.asarray(fn(*args, jnp.uint32(0)))  # exec + fetch warm
+                np.asarray(fn(*args))  # exec + fetch warm
         except Exception:
             pass  # warming is best-effort; the lazy path still works
 
@@ -830,15 +734,6 @@ class MappingEngine:
                 batch.lengths.astype("<i4").view(np.uint8).reshape(n, 4)
             )
         fn, verify_cap = self._fn_for(B, Lmax, tier)
-        if self._salt is None:
-            if self._cross_host:
-                from jax.sharding import PartitionSpec as P
-
-                self._salt = self._global_put(
-                    self.config.index_mesh, P(), np.uint32(0)
-                )
-            else:
-                self._salt = jnp.uint32(0)
         if self._cross_host:
             from jax.sharding import PartitionSpec as P
 
@@ -858,17 +753,17 @@ class MappingEngine:
             with self._device_lock:
                 dev_in = jnp.asarray(packed)
                 if self._device_args is not None:
-                    out = fn(*self._device_args, dev_in, self._salt)
+                    out = fn(*self._device_args, dev_in)
                 else:
-                    out = fn(self.dindex, dev_in, self._salt)
+                    out = fn(self.dindex, dev_in)
                 jax.block_until_ready(out)
             return self._register_pending(batch, out, tier)
         else:
             dev_in = jnp.asarray(packed)
         if self._device_args is not None:
-            out = fn(*self._device_args, dev_in, self._salt)
+            out = fn(*self._device_args, dev_in)
         else:
-            out = fn(self.dindex, dev_in, self._salt)
+            out = fn(self.dindex, dev_in)
         # Start the D2H transfer as soon as the program finishes: the
         # host<->device link pays a fixed ~8 ms per synchronous fetch, and
         # with pipeline depth >= 2 the async copy fully overlaps the
@@ -1424,6 +1319,13 @@ class MappingEngine:
         import itertools
         import threading
 
+        # Stream position restarts at 0 for every stream (map_stream resets
+        # it to _consumed_base at entry; the shadow path is only entered
+        # with _consumed_base == 0) — an engine reused for a second stream
+        # must not inherit the prior stream's count, or checkpoint
+        # positions (cli.py pairs skip_reads + consumed_reads with the
+        # output byte offset) would skip unmapped reads on resume.
+        self.consumed_reads = 0
         it = iter(batches)
         first = next(it, None)
         if first is None:
@@ -1436,7 +1338,7 @@ class MappingEngine:
                 B = self.config.batch_size
                 fn, _ = self._fn_for(B, Lmax, 0)
                 args = self._probe_args(B, Lmax, iters=1)[0]
-                np.asarray(fn(*args, jnp.uint32(0)))  # exec + refit warm
+                np.asarray(fn(*args))  # exec + refit warm
                 self.warm_tiers(Lmax)
             except Exception:
                 pass  # warm is best-effort; the normal path still works

@@ -74,17 +74,15 @@ def main() -> None:
     mark("compile")
 
     probes = engine._probe_args(args.batch, Lmax, iters=3)
-    import jax.numpy as jnp
 
-    salt = jnp.uint32(0)
-    out = fn(*probes[0], salt)
+    out = fn(*probes[0])
     jax.block_until_ready(out)
     mark("dispatch")
 
     np.asarray(out)
     mark("fetch")
 
-    np.asarray(fn(*probes[1], salt))
+    np.asarray(fn(*probes[1]))
     mark("fetch2")
 
     if not args.no_tiers:
@@ -92,7 +90,7 @@ def main() -> None:
             B_t = engine._tier(t).batch_size
             tfn, _ = engine._fn_for(B_t, Lmax, t)
             targs = engine._probe_args(B_t, Lmax, iters=1)[0]
-            np.asarray(tfn(*targs, jnp.uint32(0)))
+            np.asarray(tfn(*targs))
             mark(f"warm_t{t}")
 
     print(f"[cold] TOTAL {time.time() - T0:.1f}s", file=sys.stderr)
