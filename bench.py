@@ -173,7 +173,7 @@ def _build_binaries():
     return bin_, ref_bin
 
 
-def run_workers(fixture_dir, n, phase=""):
+def run_workers(fixture_dir, n, phase="", extra_env=None):
     """Spawn n worker subprocesses over interleaved batch shards; returns
     the aggregated result dict or None. ALL device measurement happens in
     worker subprocesses: a parent process that ever opened the TPU client
@@ -189,6 +189,7 @@ def run_workers(fixture_dir, n, phase=""):
         + os.pathsep + env.get("PYTHONPATH", "")
     )
     env["FEM_BENCH_BATCH_EFFECTIVE"] = str(_batch_for(n))
+    env.update(extra_env or {})
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker",
@@ -427,7 +428,19 @@ def main() -> None:
             sim.write_fasta(os.path.join(fixture_dir, "ref.fa"), adv_seqs)
             sim.write_fastq(os.path.join(fixture_dir, "reads.fq"), adv_reads)
             save_index(adv_index, os.path.join(fixture_dir, "ref.index"))
-            res = run_workers(fixture_dir, 1, phase=" [adversarial]")
+            # The ladder is load-bearing here: satellite reads blow the
+            # global verify slab (a heavy batch's whole suffix retries),
+            # and with tiers disabled every one of those falls to the
+            # ~3 ms/read host mapper — measured 20+ min for 82k reads.
+            # Caps follow tools/soak.py's satellite operating point
+            # (cand 64 / vpr 4 / apr 2): the benign caps are sized for a
+            # ~1.4-mapping/read workload and would flag most of each
+            # satellite batch for retry.
+            res = run_workers(fixture_dir, 1, phase=" [adversarial]",
+                              extra_env={"FEM_BENCH_TIERS": "ladder",
+                                         "FEM_BENCH_CAP_CAND": "64",
+                                         "FEM_BENCH_VPR": "4",
+                                         "FEM_BENCH_APR": "2"})
             if res is not None:
                 adv_rps = res["best"]
                 adv_eq = None
@@ -508,11 +521,18 @@ def worker(d: str, wid: int, nworkers: int) -> None:
     args = FemArgs(kmer_size=index.kmer_size, step_size=index.step_size,
                    error_threshold=e, num_additional_qgrams=1)
     agg = int(os.environ.get("FEM_BENCH_AGG", "0"))
+    # FEM_BENCH_TIERS=none routes capacity-overflow reads straight to the
+    # exact host C++ mapper instead of the device retry ladder: overflow is
+    # ~0.2% on the benign workload (734 of 327k reads, ~0.014 s of CPU at
+    # 53k reads/s), while warming the two tier programs costs ~160 s of
+    # per-process remote compile/load — and the warm is what the 2-worker
+    # phase pays twice, concurrently.
+    tiers = () if os.environ.get("FEM_BENCH_TIERS", "none") == "none" else None
     engine = MappingEngine(
         args, ref, index,
         EngineConfig(batch_size=batch_size, cap_occ=cap_occ, cap_cand=cap_cand,
                      cap_vote=cap_vote, verify_per_read=verify_per_read,
-                     accept_per_read=accept_per_read,
+                     accept_per_read=accept_per_read, tiers=tiers,
                      aggregate_fetch=agg if agg > 1 else None),
     )
     batches = [

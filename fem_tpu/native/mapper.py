@@ -64,6 +64,15 @@ class NativeCpuMapper:
 
     def __init__(self, args, reference: Reference, index: FemIndex):
         assert mapper_available()
+        # The handle's per-call scratch (mapper_core.h: hashes_, cands_,
+        # mappings_, ...) lives in the handle, not on the stack —
+        # concurrent map_reads calls on one handle race on it. The engine
+        # calls this from several drain threads (capacity-overflow
+        # fallback), so every call serializes on this lock. Fallback
+        # volume is ~0.2% of reads; serialization costs nothing.
+        import threading
+
+        self._lock = threading.Lock()
         # Keep every buffer alive for the handle's lifetime.
         self._ref_blob, self._ref_offsets = _blob(reference.seqs)
         self._names_blob, self._name_offsets = _blob(reference.names)
@@ -106,18 +115,19 @@ class NativeCpuMapper:
         out_len = ctypes.c_int64()
         stats = np.zeros(5, np.uint64)
         vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
-        rc = _lib.fem_mapper_map(
-            self._h,
-            ctypes.c_char_p(names_blob), vp(name_offsets),
-            ctypes.c_char_p(seqs_blob), vp(seq_offsets),
-            ctypes.c_char_p(quals_blob),
-            len(names),
-            ctypes.byref(out_buf), ctypes.byref(out_len),
-            vp(stats),
-        )
-        if rc != 0:
-            raise RuntimeError(f"fem_mapper_map failed with {rc}")
-        try:
-            return ctypes.string_at(out_buf, out_len.value), stats
-        finally:
-            _lib.fem_free(out_buf)
+        with self._lock:  # handle scratch is not reentrant (see __init__)
+            rc = _lib.fem_mapper_map(
+                self._h,
+                ctypes.c_char_p(names_blob), vp(name_offsets),
+                ctypes.c_char_p(seqs_blob), vp(seq_offsets),
+                ctypes.c_char_p(quals_blob),
+                len(names),
+                ctypes.byref(out_buf), ctypes.byref(out_len),
+                vp(stats),
+            )
+            if rc != 0:
+                raise RuntimeError(f"fem_mapper_map failed with {rc}")
+            try:
+                return ctypes.string_at(out_buf, out_len.value), stats
+            finally:
+                _lib.fem_free(out_buf)

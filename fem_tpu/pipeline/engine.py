@@ -392,9 +392,10 @@ class MappingEngine:
         self.args = args
         self.reference = reference
         self.config = config or EngineConfig()
-        # Packed-result width limits (pack_outputs: lane u16, sid u16).
-        if self.config.batch_size > 32767:
-            raise ValueError("batch_size must be <= 32767")
+        # Packed-result width limits (pack_outputs: lane u16, sid u16 —
+        # max lane id is 2*batch_size - 1 = 65535).
+        if self.config.batch_size > 32768:
+            raise ValueError("batch_size must be <= 32768")
         if reference.num_seqs > 65535:
             raise ValueError("references with > 65535 sequences unsupported")
         self.golden = GoldenMapper(args, reference, index)
