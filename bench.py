@@ -428,19 +428,19 @@ def main() -> None:
             sim.write_fasta(os.path.join(fixture_dir, "ref.fa"), adv_seqs)
             sim.write_fastq(os.path.join(fixture_dir, "reads.fq"), adv_reads)
             save_index(adv_index, os.path.join(fixture_dir, "ref.index"))
-            # The ladder is load-bearing here: satellite reads blow the
-            # global verify slab (a heavy batch's whole suffix retries),
-            # and with tiers disabled every one of those falls to the
-            # ~3 ms/read host mapper — measured 20+ min for 82k reads.
-            # Caps follow tools/soak.py's satellite operating point
-            # (cand 64 / vpr 4 / apr 2): the benign caps are sized for a
-            # ~1.4-mapping/read workload and would flag most of each
-            # satellite batch for retry.
+            # Slabs must fit the satellite workload's ~9.4 mappings and
+            # ~10 candidates per read (6-7x benign): undersized vpr makes
+            # the GLOBAL verify slab truncate a suffix of every batch.
+            # tools/adv_tune.py measured the operating points: vpr=8/apr=8
+            # with overflow going to the exact host mapper = 30.3k reads/s
+            # (3.4% host-mapped spike reads) vs 10.8k with the retry
+            # ladder (6.8% retried, 70 tier dispatches = the retry tax) vs
+            # 25.4k for fem_baseline on one CPU thread.
             res = run_workers(fixture_dir, 1, phase=" [adversarial]",
-                              extra_env={"FEM_BENCH_TIERS": "ladder",
+                              extra_env={"FEM_BENCH_TIERS": "none",
                                          "FEM_BENCH_CAP_CAND": "64",
-                                         "FEM_BENCH_VPR": "4",
-                                         "FEM_BENCH_APR": "2"})
+                                         "FEM_BENCH_VPR": "8",
+                                         "FEM_BENCH_APR": "8"})
             if res is not None:
                 adv_rps = res["best"]
                 adv_eq = None

@@ -56,15 +56,6 @@ class CandidateResult(NamedTuple):
     mappable: jnp.ndarray  # (NB,) bool — passed length/ambiguity guards
 
 
-def _group_seed_geometry(params: FilterParams):
-    G = params.step_size
-    NG = params.max_group_size
-    p = jnp.arange(NG, dtype=jnp.int32)
-    si = jnp.arange(G, dtype=jnp.int32)
-    # read position of group-coordinate p in group si: si + p*step
-    return si[:, None] + p[None, :] * params.step_size  # (G, NG)
-
-
 def _probe(*arrays) -> jnp.ndarray:
     """Tiny live-value checksum used by the stage profiler (tools/
     profile_stages.py): forces XLA to materialize everything computed so
@@ -116,16 +107,37 @@ def generate_candidates(
     )
 
     # ---- per-(lane, group) seed tables -------------------------------------
-    read_pos = _group_seed_geometry(params)  # (G, NG)
-    seed_idx = jnp.clip(read_pos, 0, hashes.shape[1] - 1)
-    group_hashes = hashes[:, seed_idx]  # (NB, G, NG)
+    # group_hashes[b, g, p] = hashes[b, g + p*step]: a STRIDED view, not a
+    # gather — the fancy-index formulation lowered to a 1.47M-element
+    # minor-axis gather costing ~6 ms/batch at B=8192 (r5 profile), while
+    # static strided slices are a windowed copy. Requires the whole
+    # (G, NG) geometry to stay inside the hash row, which holds whenever
+    # Lmax-padded reads hash NG full groups (asserted).
+    NSh = hashes.shape[1]
+    assert (G - 1) + (NG - 1) * params.step_size < NSh, (G, NG, NSh)
+    group_hashes = jnp.stack(
+        [
+            jax.lax.slice_in_dim(
+                hashes, g, g + (NG - 1) * params.step_size + 1,
+                stride=params.step_size, axis=1,
+            )
+            for g in range(G)
+        ],
+        axis=1,
+    )  # (NB, G, NG)
     group_sizes = jnp.maximum(
         (num_seeds[:, None] - jnp.arange(G, dtype=jnp.int32)[None, :])
         // params.step_size,
         0,
     )  # (NB, G) — floor counts, reproducing the reference's truncation
-    freqs = jnp.take(index.freq_table, group_hashes, mode="clip").astype(
-        jnp.uint32
+    # Flat-index gather, reshaped after: XLA's gather with a (NB, G, NG)-
+    # shaped index costs ~1.45x the flat formulation of the identical
+    # access set (r5 probe: 13.2 vs 9.1 ms/batch at B=8192) — the output
+    # layout, not the byte count, is the lever (tools/gather_law.py).
+    freqs = (
+        jnp.take(index.freq_table, group_hashes.reshape(-1), mode="clip")
+        .reshape(group_hashes.shape)
+        .astype(jnp.uint32)
     )
     if _stop_after == "freqs":
         return _probe(freqs, group_sizes, mappable)
@@ -176,8 +188,10 @@ def generate_candidates(
     # dead lookup-gather branch.
     assert index.csr_rows is not None, "DeviceIndex must carry csr_rows"
     # One 2-word row gather yields both CSR bounds (see
-    # DeviceIndex.csr_rows).
-    lf = jnp.take(index.csr_rows, sel_hash, mode="clip", axis=0)
+    # DeviceIndex.csr_rows); flat-index formulation as above.
+    lf = jnp.take(
+        index.csr_rows, sel_hash.reshape(-1), mode="clip", axis=0
+    ).reshape(*sel_hash.shape, 2)
     sstart_off = lf[..., 0]
     lfreq = lf[..., 1] - lf[..., 0]
     if index_axis is None:
@@ -254,9 +268,11 @@ def generate_candidates(
     # Fetch the enclosing 128-word super-row (per-ROW gather cost makes
     # the 8x wider row ~free — tools/gather_law.py) and extract the
     # logical row in registers.
-    words128 = jnp.take(
-        index.occ_rows, row >> 3, mode="clip", axis=0
-    ).astype(jnp.uint32)  # (NB, G, NCH, 128)
+    words128 = (
+        jnp.take(index.occ_rows, (row >> 3).reshape(-1), mode="clip", axis=0)
+        .reshape(NB, G, NCH, 128)
+        .astype(jnp.uint32)
+    )  # flat-index formulation, see the freqs gather note
     sub = (row & 7)[..., None]
     words = jax.lax.slice_in_dim(words128, 0, 16, axis=-1)
     for t in range(1, 8):
