@@ -107,24 +107,27 @@ def generate_candidates(
     )
 
     # ---- per-(lane, group) seed tables -------------------------------------
-    # group_hashes[b, g, p] = hashes[b, g + p*step]: a STRIDED view, not a
-    # gather — the fancy-index formulation lowered to a 1.47M-element
-    # minor-axis gather costing ~6 ms/batch at B=8192 (r5 profile), while
-    # static strided slices are a windowed copy. Requires the whole
-    # (G, NG) geometry to stay inside the hash row, which holds whenever
-    # Lmax-padded reads hash NG full groups (asserted).
+    # group_hashes[b, g, p] = hashes[b, min(g + p*step, NSh-1)]: STRIDED
+    # views, not a gather — the fancy-index formulation lowered to a
+    # 1.47M-element minor-axis gather, while static strided slices are a
+    # windowed copy. Group coordinates past the hash row (only ever
+    # padding beyond group_sizes, masked in the DP) replicate the last
+    # column, matching the old clipped-index semantics exactly.
     NSh = hashes.shape[1]
-    assert (G - 1) + (NG - 1) * params.step_size < NSh, (G, NG, NSh)
-    group_hashes = jnp.stack(
-        [
-            jax.lax.slice_in_dim(
-                hashes, g, g + (NG - 1) * params.step_size + 1,
-                stride=params.step_size, axis=1,
+    cols = []
+    for g in range(G):
+        n_ok = min(NG, (NSh - 1 - g) // params.step_size + 1)
+        sl = jax.lax.slice_in_dim(
+            hashes, g, g + (n_ok - 1) * params.step_size + 1,
+            stride=params.step_size, axis=1,
+        )
+        if n_ok < NG:
+            sl = jnp.concatenate(
+                [sl, jnp.broadcast_to(hashes[:, NSh - 1:], (NB, NG - n_ok))],
+                axis=1,
             )
-            for g in range(G)
-        ],
-        axis=1,
-    )  # (NB, G, NG)
+        cols.append(sl)
+    group_hashes = jnp.stack(cols, axis=1)  # (NB, G, NG)
     group_sizes = jnp.maximum(
         (num_seeds[:, None] - jnp.arange(G, dtype=jnp.int32)[None, :])
         // params.step_size,

@@ -534,6 +534,15 @@ class MappingEngine:
             return -(-x // 8) * 8
 
         env = os.environ.get("FEM_TPU_TIERS")
+        if env == "none":
+            # Route capacity overflow straight to the exact host mapper.
+            # Measured tradeoff (tools/adv_tune.py, satellite genome):
+            # 30.3k reads/s with 3.4% host-mapped vs 10.8k through the
+            # ladder (the retry tax) — and no tier-program warm. The
+            # ladder stays the default: hosts with few cores or workloads
+            # where overflow reads dominate (whole reads inside satellite
+            # arrays at tight slabs) still need device-side escalation.
+            return ()
         if env:
             rungs = []
             try:
