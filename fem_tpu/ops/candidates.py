@@ -77,6 +77,8 @@ def generate_candidates(
     params: FilterParams,
     index_axis: str | None = None,
     use_kernel: bool = False,
+    gather_pib: bool = False,
+    unsorted_slab: bool = False,
     _stop_after: str | None = None,
 ) -> CandidateResult:
     """With `index_axis` set, the occurrence table is coordinate-sharded
@@ -91,6 +93,17 @@ def generate_candidates(
     """
     NB = codes.shape[0]
     G = params.step_size
+    # Every table index below is in range by construction (hashes are
+    # base-4 polynomials in [0, 4^k); occ row ids are clipped before the
+    # shift), so the bounds handling is a pure formulation choice measured
+    # by tools/occ_ab.py. jnp.take has no promise_in_bounds mode; .at[].get
+    # does.
+    if gather_pib:
+        def take0(table, idx):
+            return table.at[idx].get(mode="promise_in_bounds")
+    else:
+        def take0(table, idx):
+            return jnp.take(table, idx, mode="clip", axis=0)
     NG = params.max_group_size
     S = params.num_qgrams
     e = params.error_threshold
@@ -138,7 +151,7 @@ def generate_candidates(
     # access set (r5 probe: 13.2 vs 9.1 ms/batch at B=8192) — the output
     # layout, not the byte count, is the lever (tools/gather_law.py).
     freqs = (
-        jnp.take(index.freq_table, group_hashes.reshape(-1), mode="clip")
+        take0(index.freq_table, group_hashes.reshape(-1))
         .reshape(group_hashes.shape)
         .astype(jnp.uint32)
     )
@@ -187,14 +200,16 @@ def generate_candidates(
     if _stop_after == "selhash":
         return _probe(sel_hash, start)
     # Both DeviceIndex constructors build csr_rows (types.py keeps
-    # lookup=None); the contract is explicit here rather than carrying a
-    # dead lookup-gather branch.
+    # lookup=None); the contract is explicit here rather than carrying
+    # a dead lookup-gather branch. One 2-word row gather yields both CSR
+    # bounds; flat-index formulation as above. (The r5 occ_ab probe also
+    # REJECTED splitting this into one flat element gather over
+    # concat[h, h+1] of a start-only table: +14 ms — issue count beats
+    # output-tile utilization on this chip.)
     assert index.csr_rows is not None, "DeviceIndex must carry csr_rows"
-    # One 2-word row gather yields both CSR bounds (see
-    # DeviceIndex.csr_rows); flat-index formulation as above.
-    lf = jnp.take(
-        index.csr_rows, sel_hash.reshape(-1), mode="clip", axis=0
-    ).reshape(*sel_hash.shape, 2)
+    lf = take0(index.csr_rows, sel_hash.reshape(-1)).reshape(
+        *sel_hash.shape, 2
+    )
     sstart_off = lf[..., 0]
     lfreq = lf[..., 1] - lf[..., 0]
     if index_axis is None:
@@ -217,20 +232,42 @@ def generate_candidates(
     # payloads are recovered afterwards by applying the permutation
     # `order_s` as S-step select chains — 2 arrays through 6 exchange
     # rounds + 3 short chains instead of 5 arrays through 6 rounds.
-    order = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (NB, G, S))
-    sfreq_s, order_s = bitonic_sort_2key(sfreq, order)
+    if unsorted_slab:
+        # A/B variant (tools/occ_ab.py): keep the slab in traceback order.
+        # The sorted seed order is consumed ONLY by the last-seed
+        # truncation (every later stage re-sorts the slab), and "last
+        # after a stable ascending frequency sort" is just the
+        # lexicographic argmax of (frequency, traceback order) — so the
+        # sort network and its payload permutation chains can leave the
+        # occurrence gather's critical path entirely.
+        start_s, off_s, lfreq_s = start, sstart_off, lfreq
+        maxf = jnp.max(sfreq, axis=2, keepdims=True)
+        last_j = jnp.max(
+            jnp.where(
+                sfreq == maxf,
+                jnp.arange(S, dtype=jnp.int32)[None, None, :],
+                -1,
+            ),
+            axis=2,
+        )  # (NB, G)
+        if _stop_after == "selattr":
+            return _probe(sfreq, start_s, off_s, lfreq_s, last_j)
+    else:
+        order = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (NB, G, S))
+        sfreq_s, order_s = bitonic_sort_2key(sfreq, order)
 
-    def at_perm(arr):  # permute (NB, G, S) by order_s via select chain
-        out = jnp.broadcast_to(arr[..., 0, None], order_s.shape)
-        for j in range(1, S):
-            out = jnp.where(order_s == j, arr[..., j, None], out)
-        return out
+        def at_perm(arr):  # permute (NB, G, S) by order_s via select chain
+            out = jnp.broadcast_to(arr[..., 0, None], order_s.shape)
+            for j in range(1, S):
+                out = jnp.where(order_s == j, arr[..., j, None], out)
+            return out
 
-    start_s = at_perm(start)
-    off_s = at_perm(sstart_off)
-    lfreq_s = at_perm(lfreq)
-    if _stop_after == "selattr":
-        return _probe(sfreq_s, start_s, off_s, lfreq_s)
+        start_s = at_perm(start)
+        off_s = at_perm(sstart_off)
+        lfreq_s = at_perm(lfreq)
+        last_j = jnp.full((NB, G), S - 1, jnp.int32)  # sorted: last slot
+        if _stop_after == "selattr":
+            return _probe(sfreq_s, start_s, off_s, lfreq_s)
 
     # ---- occurrence gather into CAP slots (aligned 8-pair rows) ------------
     # Each selected seed's occurrence run [off, off+freq) is covered by the
@@ -268,11 +305,16 @@ def generate_candidates(
     within_c = c8[None, None, :] - of_seed(pfx8)  # slot offset in seed span
     row = of_seed(off_s >> 3) + (within_c >> 3)  # logical 8-pair row id
     row = jnp.clip(row, 0, index.occ_rows.shape[0] * 8 - 1)
+    # (r5 occ_ab probe REJECTED redirecting dead chunks — ~60% of issues
+    # at cap 80 — to a hot row 0: +1.7 ms. Gather cost here is per ISSUE,
+    # indifferent to locality; only a smaller static shape would cut it,
+    # and the demand distribution's p99.9/mean ratio of 2.5x makes that a
+    # retry-tax trade that never pays — tools/demand_stats.py.)
     # Fetch the enclosing 128-word super-row (per-ROW gather cost makes
     # the 8x wider row ~free — tools/gather_law.py) and extract the
     # logical row in registers.
     words128 = (
-        jnp.take(index.occ_rows, (row >> 3).reshape(-1), mode="clip", axis=0)
+        take0(index.occ_rows, (row >> 3).reshape(-1))
         .reshape(NB, G, NCH, 128)
         .astype(jnp.uint32)
     )  # flat-index formulation, see the freqs gather note
@@ -306,7 +348,7 @@ def generate_candidates(
     slot_valid &= pos >= seed_start  # src/filter.c:89-90
     diag = pos - seed_start
     is_last = jnp.broadcast_to(
-        (j_of_c == (S - 1))[..., None], (NB, G, NCH, 8)
+        (j_of_c == last_j[..., None])[..., None], (NB, G, NCH, 8)
     ).reshape(NB, G, CAP)
 
     # ---- last-seed truncation (src/filter.c:85) ----------------------------

@@ -43,8 +43,8 @@ class TierConfig:
     batch_size: int
     cap_occ: int
     cap_cand: int
-    verify_per_read: int
-    accept_per_read: int
+    verify_per_read: float  # slab slots per read = 2*batch*value (int'ed)
+    accept_per_read: float
     cap_vote: int = 0  # 0 = same as cap_occ (no compaction win, never
     # overflows; tier-0 sets a tight width from the true-pair distribution)
 
@@ -56,7 +56,10 @@ class EngineConfig:
     cap_cand: int = 256
     cap_vote: int = 0  # compacted vote-slab width; 0 = cap_occ
     verify_per_read: int = 16  # verify slots per read-strand lane (avg)
-    accept_per_read: int = 4  # accepted-mapping slots per read (avg)
+    accept_per_read: float = 4  # accepted-mapping slots per read (avg);
+    # fractional values right-size the fetch payload: the batch SUM of
+    # accepted hits concentrates (sigma ~ sqrt(B)), so e.g. 0.75 is safe
+    # when the mean is ~0.6/read -- overflow just retries at tier 1
     pipeline_depth: int = 4  # batches in flight (device + drain threads)
     aggregate_fetch: int | None = None  # batches per D2H fetch (None = 1).
     # The tunneled link charges ~25-30 ms per *pending program* a fetch
@@ -95,6 +98,8 @@ def map_core(
     Shard-mappable over the batch (read) axis; `verify_cap` is per shard."""
     e = params.error_threshold
     B, Lmax = codes.shape
+    # pack_outputs carries the band-end offset (< Lmax + 2e) in 13 bits.
+    assert Lmax + 2 * e < (1 << 13), "read length exceeds packed end field"
     neg = reverse_complement(codes, lengths)
     both = jnp.concatenate([codes, neg], axis=0)  # (2B, Lmax)
     lens2 = jnp.concatenate([lengths, lengths], axis=0)
@@ -189,17 +194,22 @@ def pack_outputs(out: dict) -> jnp.ndarray:
     in ONE buffer; and CONSUMING a program output whose layout needs a
     device-side relayout costs ~230 ms per consumption — sub-word (u8/
     u16) bitcast-and-concat outputs trigger exactly that, so every field
-    is packed into natural u32 words instead (12 B/hit): per-hit pos,
-    (lane<<16|sid), (ed<<16|end); per-lane counters collapse to on-device
-    masked sums (lanes of fallback reads excluded — those reads are
-    remapped in full at a higher tier), fallback flags travel as a
-    per-read bitmap in u32 words.
+    is packed into natural u32 words instead (10 B/hit): per-hit pos,
+    (lane<<16|sid), and a 16-bit (ed<<13|end) field carried two hits per
+    word (ED <= 7 needs 3 bits, the band-end offset < Lmax + 2e needs
+    <= 13 — the fetch link runs at ~76 us/KB through the tunnel
+    (tools/fetch_cost.py), so the half-word is ~2 ms/batch at the bench
+    point); per-lane counters collapse to on-device masked sums (lanes of
+    fallback reads excluded — those reads are remapped in full at a
+    higher tier), fallback flags travel as a per-read bitmap in u32
+    words.
 
     Layout per shard segment (uint32 words):
       [0:6)   header: n_accepted, slab_overflow, total_candidates,
               sum_nc, dp_lo16, dp_hi16 (dp sums split 16/16 so 2^32
               lane-sum overflow is impossible)
-      [6:)    a_pos (A) | a_lane<<16|a_sid (A) | a_ed<<16|a_end (A) |
+      [6:)    a_pos (A) | a_lane<<16|a_sid (A) |
+              (ed<<13|end) 16-bit x2 per word (ceil(A/2)) |
               fallback bitmap (ceil(B/32)) | inherent bitmap (ceil(B/32))
 
     The fallback bitmap marks every read whose records were dropped (its
@@ -247,11 +257,14 @@ def pack_outputs(out: dict) -> jnp.ndarray:
         | (out["a_sid"].astype(jnp.uint32) & 0xFFFF)
     )
     ed_end = (
-        (out["a_ed"].astype(jnp.uint32) << 16)
-        | (out["a_end"].astype(jnp.uint32) & 0xFFFF)
+        (out["a_ed"].astype(jnp.uint32) << 13)
+        | (out["a_end"].astype(jnp.uint32) & 0x1FFF)
     )
+    if ed_end.shape[0] & 1:
+        ed_end = jnp.concatenate([ed_end, jnp.zeros((1,), jnp.uint32)])
+    ed_end2 = (ed_end[1::2] << 16) | ed_end[0::2]
     vec = jnp.concatenate(
-        [header, out["a_pos"].astype(jnp.uint32), lane_sid, ed_end, fb_words,
+        [header, out["a_pos"].astype(jnp.uint32), lane_sid, ed_end2, fb_words,
          inh_words]
     )
     # Native-tile-shaped output: TPU buffers are (8, 128)-tiled, so a
@@ -272,7 +285,7 @@ def _fb_len(NB: int) -> int:
 
 def packed_segment_words(acc_cap: int, NB: int) -> int:
     """True payload length in uint32 words (fallback + inherent bitmaps)."""
-    return 6 + 3 * acc_cap + 2 * _fb_len(NB)
+    return 6 + 2 * acc_cap + (acc_cap + 1) // 2 + 2 * _fb_len(NB)
 
 
 def packed_segment_size(acc_cap: int, NB: int) -> int:
@@ -301,10 +314,19 @@ def unpack_outputs(flat: np.ndarray, acc_cap: int, NB: int, nshards: int) -> dic
     a_lane = (lane_sid >> 16).astype(np.int64)
     a_sid = (lane_sid & 0xFFFF).astype(np.int64)
     o += acc_cap
-    ed_end = np.concatenate([p[o : o + acc_cap] for p in parts])
-    a_ed = (ed_end >> 16).astype(np.int64)
-    a_end = (ed_end & 0xFFFF).astype(np.int64)
-    o += acc_cap
+    ee_w = (acc_cap + 1) // 2
+
+    def _ee(p):
+        w = p[o : o + ee_w]
+        ee = np.empty(2 * ee_w, np.uint32)
+        ee[0::2] = w & 0xFFFF
+        ee[1::2] = w >> 16
+        return ee[:acc_cap]
+
+    ed_end = np.concatenate([_ee(p) for p in parts])
+    a_ed = (ed_end >> 13).astype(np.int64)
+    a_end = (ed_end & 0x1FFF).astype(np.int64)
+    o += ee_w
 
     def bitmaps(off):
         return np.stack(
@@ -567,8 +589,8 @@ class MappingEngine:
             batch_size=align(min(c.batch_size, 512)),
             cap_occ=cap8(max(8 * c.cap_occ, 512)),
             cap_cand=cap8(max(8 * c.cap_cand, 512)),
-            verify_per_read=max(4 * c.verify_per_read, 32),
-            accept_per_read=max(4 * c.accept_per_read, 16),
+            verify_per_read=max(int(4 * c.verify_per_read), 32),
+            accept_per_read=max(int(4 * c.accept_per_read), 16),
         )
         t2 = TierConfig(
             batch_size=align(min(c.batch_size, 64)),
@@ -601,8 +623,8 @@ class MappingEngine:
             cap_cand=tc.cap_cand,
             cap_vote=tc.cap_vote or tc.cap_occ,
         )
-        verify_cap = 2 * batch_size * tc.verify_per_read
-        accept_cap = max(2 * batch_size * tc.accept_per_read, 64)
+        verify_cap = int(2 * batch_size * tc.verify_per_read)
+        accept_cap = max(int(2 * batch_size * tc.accept_per_read), 64)
         if self.config.index_mesh is not None:
             from fem_tpu.parallel.sharded_index import make_index_sharded_map_fn
 
@@ -876,7 +898,7 @@ class MappingEngine:
         tc = self._tier(tier)
         B = tc.batch_size
         Bloc = B // n_dp
-        acc_cap = max(max(2 * B * tc.accept_per_read, 64) // (n_dp * n_ip), 8)
+        acc_cap = max(max(int(2 * B * tc.accept_per_read), 64) // (n_dp * n_ip), 8)
         seg = packed_segment_size(acc_cap, 2 * Bloc)
         rows_per_d = n_ip * seg // 128  # segments are (rows, 128) u32 tiles
         row_bytes = {}
@@ -992,7 +1014,7 @@ class MappingEngine:
         B = tc.batch_size
         n_dp, n_ip = self._mesh_shape()
         nseg = n_dp * n_ip
-        acc_cap = max(max(2 * B * tc.accept_per_read, 64) // nseg, 8)
+        acc_cap = max(max(int(2 * B * tc.accept_per_read), 64) // nseg, 8)
         if not isinstance(flat, np.ndarray):
             if self.config.serialize_dispatch:
                 with self._device_lock:  # fetch is a device op too
