@@ -58,8 +58,9 @@ class EngineConfig:
     verify_per_read: int = 16  # verify slots per read-strand lane (avg)
     accept_per_read: float = 4  # accepted-mapping slots per read (avg);
     # fractional values right-size the fetch payload: the batch SUM of
-    # accepted hits concentrates (sigma ~ sqrt(B)), so e.g. 0.75 is safe
-    # when the mean is ~0.6/read -- overflow just retries at tier 1
+    # accepted hits concentrates (sigma ~ sqrt(B)), so e.g. 0.85 (= 1.7
+    # slots/read) is ~20 sigma above the bench workload's measured 1.45
+    # mappings/read -- and overflow just retries at tier 1
     pipeline_depth: int = 4  # batches in flight (device + drain threads)
     aggregate_fetch: int | None = None  # batches per D2H fetch (None = 1).
     # The tunneled link charges ~25-30 ms per *pending program* a fetch
