@@ -25,10 +25,13 @@ def _stale(target: str, srcs: list[str]) -> bool:
     return any(os.path.getmtime(s) > t for s in srcs)
 
 
+_MAINS = ("baseline.cpp", "tsan_stress.cpp")  # standalone binaries
+
+
 def _sources(exclude_main: bool) -> list[str]:
     out = []
     for f in sorted(os.listdir(_SRC_DIR)):
-        if f.endswith(".cpp") and (not exclude_main or f != "baseline.cpp"):
+        if f.endswith(".cpp") and (not exclude_main or f not in _MAINS):
             out.append(os.path.join(_SRC_DIR, f))
     return out
 
@@ -61,3 +64,26 @@ def build_baseline(force: bool = False) -> str:
             cmd = ["g++", *_CXXFLAGS, "-pthread", "-o", _BASELINE_PATH, src, "-lz"]
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         return _BASELINE_PATH
+
+
+def build_tsan_stress(force: bool = False) -> str:
+    """Build the ThreadSanitizer stress binary (tsan_stress.cpp + the
+    library sources, -O1 -fsanitize=thread). Raises on toolchains without
+    TSAN support; callers (tests/test_native.py) skip in that case."""
+    target = os.path.join(os.path.dirname(__file__), "tsan_stress")
+    with _lock:
+        srcs = [os.path.join(_SRC_DIR, "tsan_stress.cpp")] + _sources(
+            exclude_main=True
+        )
+        hdrs = [
+            os.path.join(_SRC_DIR, f)
+            for f in os.listdir(_SRC_DIR)
+            if f.endswith(".h")
+        ]
+        if force or _stale(target, srcs + hdrs):
+            cmd = [
+                "g++", "-O1", "-g", "-std=c++17", "-Wall",
+                "-fsanitize=thread", "-pthread", "-o", target, *srcs, "-lz",
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        return target

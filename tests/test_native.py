@@ -146,3 +146,21 @@ def test_engine_overflow_fallback_uses_cpu_mapper(small_reference, small_index, 
     assert b"".join(recs) == b"".join(grecs)
     assert stats.num_mappings == gstats.num_mappings
     assert stats.num_candidates == gstats.num_candidates
+
+
+def test_tsan_stress():
+    """Race-exercise the native layer under ThreadSanitizer (SURVEY §5.2):
+    concurrent fem_emit_batch (the drain-thread pattern, with cross-thread
+    determinism checks) and fem_mapper_map under both documented handle
+    contracts. Any TSAN report makes the binary exit non-zero."""
+    import subprocess
+
+    from fem_tpu.native.build import build_tsan_stress
+
+    try:
+        binary = build_tsan_stress()
+    except Exception as exc:  # toolchain without -fsanitize=thread
+        pytest.skip(f"TSAN build unavailable: {exc}")
+    res = subprocess.run([binary], capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-4000:]
+    assert "tsan_stress ok" in res.stdout
