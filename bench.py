@@ -436,25 +436,41 @@ def main() -> None:
             # (3.4% host-mapped spike reads) vs 10.8k with the retry
             # ladder (6.8% retried, 70 tier dispatches = the retry tax) vs
             # 25.4k for fem_baseline on one CPU thread.
-            res = run_workers(fixture_dir, 1, phase=" [adversarial]",
-                              extra_env={"FEM_BENCH_TIERS": "none",
-                                         "FEM_BENCH_CAP_CAND": "64",
-                                         "FEM_BENCH_VPR": "8",
-                                         "FEM_BENCH_APR": "8"})
-            if res is not None:
-                adv_rps = res["best"]
+            # Same worker sweep as the benign phase: the satellite payload
+            # (vpr/apr 8 -> ~2.6 MB/batch at ~76 us/KB, tools/fetch_cost.py)
+            # makes the single-worker number fetch-bound; a second worker
+            # hides the fetch under the other's execution exactly as in the
+            # benign phase.
+            adv_env = {"FEM_BENCH_TIERS": "none",
+                       "FEM_BENCH_CAP_CAND": "64",
+                       "FEM_BENCH_VPR": "8",
+                       "FEM_BENCH_APR": "8"}
+            adv_counts = [int(x) for x in os.environ.get(
+                "FEM_BENCH_ADV_WORKERS", "2,1").split(",")]
+            best_res = None
+            for n in adv_counts:
+                res = run_workers(fixture_dir, n, phase=" [adversarial]",
+                                  extra_env=adv_env)
+                if res is None:
+                    continue
                 adv_eq = None
                 if bin_ is not None:
                     ranges = _timed_read_ranges(
-                        adversarial_reads, _batch_for(1), 1, n_warm)
+                        adversarial_reads, _batch_for(n), n, n_warm)
                     adv_eq = _verify_against_baseline(
                         bin_, fixture_dir, adv_reads, e, ranges, res["stats"])
+                if best_res is None or res["best"] > best_res[0]["best"]:
+                    best_res = (res, adv_eq)
+            if best_res is not None:
+                res, adv_eq = best_res
+                adv_rps = res["best"]
                 adv_result = {
                     "metric": "adversarial all-mapping reads/s/chip "
                     f"(satellite-repeat {genome_mb}Mb genome, 100bp SE, e={e})",
                     "value": round(adv_rps, 1),
                     "unit": "reads/s",
-                    "scoring": "best-half, 1 worker",
+                    "scoring": "best-half, max over worker counts "
+                    f"({adv_counts})",
                     "whole_run_rps": round(res["whole_run"], 1),
                     "retried_reads": res["retried"],
                     "host_fallbacks": res["fallbacks"],
